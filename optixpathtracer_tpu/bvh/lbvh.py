@@ -23,6 +23,7 @@ device sort), so scene updates never round-trip through the host.
 """
 from __future__ import annotations
 
+import dataclasses
 import math
 from typing import NamedTuple
 
@@ -37,12 +38,15 @@ Array = jax.Array
 _I32 = jnp.int32
 
 
-class BVH(NamedTuple):
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BVH:
     """Flattened 2-wide BVH over fixed-size triangle leaves.
 
     M = num_leaves - 1 internal nodes (min 1). Children encode leaves as
     negative: child = -(leaf_id + 1); non-negative child = internal node id.
     Leaf `i` owns triangles [i*K, (i+1)*K) of the sorted triangle arrays.
+    `leaf_size` is static pytree metadata (it shapes the traversal kernel).
     """
 
     child_left: Array  # (M,) int32
@@ -51,7 +55,7 @@ class BVH(NamedTuple):
     left_max: Vec3
     right_min: Vec3
     right_max: Vec3
-    leaf_size: int  # static K
+    leaf_size: int = dataclasses.field(metadata=dict(static=True))  # static K
 
     @property
     def num_internal(self) -> int:

@@ -1,0 +1,188 @@
+"""Progressive renderer: owns framebuffer state, jits the wavefront step.
+
+This is the TPU-native SampleRenderer (HelloPathtracing_original/
+SimplePathtracer.h:46-62): render() / resize() / set_camera() / set_probe() /
+download_pixels(), plus what the reference lacked — checkpoint/resume of the
+progressive accumulation state (SURVEY.md §5: {accum, subframe_index, camera}
+IS the renderer state) and structured per-frame metrics.
+
+Where the reference re-uploads LaunchParams and calls optixLaunch each frame
+(SimplePathtracer.cpp:73-97), here one jitted function takes (accum, subframe,
+camera) and returns the updated accum + AOVs; camera motion is just a new
+argument, not a pipeline rebuild.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..builder import CompiledScene
+from ..core.camera import Camera
+from ..core.math import Vec3
+from ..lights.probe import Probe
+from ..ops import tonemap
+from .wavefront import CameraParams, RenderConfig, SampleOutput, accumulate, trace_wavefront
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _render_step(
+    cs: CompiledScene,
+    probe: Probe,
+    cfg: RenderConfig,
+    cam: CameraParams,
+    pixel_x: jax.Array,
+    pixel_y: jax.Array,
+    accum: Vec3,
+    subframe: jax.Array,
+):
+    out = trace_wavefront(cs, probe, cfg, cam, pixel_x, pixel_y, subframe)
+    new_accum = accumulate(
+        accum, out.color, subframe, cfg.samples_per_launch, cfg.clamp_radiance
+    )
+    frame = tonemap.pack_rgba8(
+        tonemap.finalize(new_accum, mode=tonemap.TONEMAP_NONE, srgb=True)
+    )
+    return new_accum, frame, out
+
+
+class Renderer:
+    """Progressive path-tracing renderer over a compiled scene."""
+
+    def __init__(
+        self,
+        compiled_scene: CompiledScene,
+        probe: Probe,
+        config: RenderConfig | None = None,
+        camera: Camera | None = None,
+    ):
+        self.cs = compiled_scene
+        self.probe = probe
+        self.config = config or RenderConfig()
+        self.camera = camera or Camera()
+        self.subframe_index = 0
+        self._frame_times: list[float] = []
+        self.resize(self.config.width, self.config.height)
+
+    # -- state management ----------------------------------------------------
+    def resize(self, width: int, height: int) -> None:
+        """Reallocate framebuffers (SimplePathtracer resize :109-126)."""
+        self.config = dataclasses.replace(self.config, width=width, height=height)
+        n = width * height
+        ys, xs = jnp.divmod(jnp.arange(n, dtype=jnp.int32), width)
+        self._px = xs
+        self._py = ys
+        self.accum = Vec3.zeros((n,))
+        self.subframe_index = 0
+        self._last: SampleOutput | None = None
+        self._frame_u8 = None
+
+    def set_camera(self, camera: Camera) -> None:
+        camera.aspect_ratio = self.config.width / self.config.height
+        self.camera = camera
+        self.subframe_index = 0  # camera motion restarts accumulation
+
+    def set_probe(self, probe: Probe) -> None:
+        self.probe = probe
+        self.subframe_index = 0
+
+    # -- rendering -------------------------------------------------------------
+    def render(self) -> np.ndarray:
+        """One progressive launch; returns the (H, W, 4) uint8 frame."""
+        t0 = time.perf_counter()
+        cam = CameraParams.from_camera(self.camera)
+        self.accum, frame, self._last = _render_step(
+            self.cs,
+            self.probe,
+            self.config,
+            cam,
+            self._px,
+            self._py,
+            self.accum,
+            jnp.uint32(self.subframe_index),
+        )
+        frame.block_until_ready()
+        self.subframe_index += 1
+        self._frame_u8 = frame
+        self._frame_times.append(time.perf_counter() - t0)
+        return self.download_pixels()
+
+    def render_n(self, n: int) -> np.ndarray:
+        for _ in range(n):
+            out = self.render()
+        return out
+
+    # -- outputs ---------------------------------------------------------------
+    def _to_image(self, v: Vec3) -> np.ndarray:
+        h, w = self.config.height, self.config.width
+        img = np.stack(
+            [np.asarray(v.x), np.asarray(v.y), np.asarray(v.z)], axis=-1
+        ).reshape(h, w, 3)
+        return img[::-1]  # row 0 is bottom (GL convention) -> flip for images
+
+    def download_pixels(self) -> np.ndarray:
+        """(H, W, 4) uint8, top row first (SampleRenderer::downloadPixels)."""
+        h, w = self.config.height, self.config.width
+        return np.asarray(self._frame_u8).reshape(h, w, 4)[::-1]
+
+    def accum_image(self) -> np.ndarray:
+        return self._to_image(self.accum)
+
+    def aovs(self) -> dict[str, np.ndarray]:
+        """normal/albedo/alpha AOVs of the last launch (denoiser inputs)."""
+        if self._last is None:
+            raise RuntimeError("render() first")
+        return {
+            "normal": self._to_image(self._last.normal),
+            "albedo": self._to_image(self._last.albedo),
+            "alpha": self._to_image(self._last.alpha),
+        }
+
+    # -- observability -----------------------------------------------------
+    def stats(self) -> dict:
+        """displayStats-style numbers (sutil.cpp:723-783) as structured data."""
+        times = self._frame_times[-64:]
+        if not times:
+            return {"frames": 0}
+        spp_total = self.subframe_index * self.config.samples_per_launch
+        return {
+            "frames": self.subframe_index,
+            "last_frame_s": times[-1],
+            "mean_frame_s": float(np.mean(times)),
+            "fps": 1.0 / max(float(np.mean(times)), 1e-9),
+            "total_spp": spp_total,
+        }
+
+    # -- checkpoint / resume -------------------------------------------------
+    def save_checkpoint(self, path: str) -> None:
+        """Persist the full progressive state: exact resume (new vs reference,
+        which loses all accumulation on exit)."""
+        np.savez(
+            path,
+            accum=np.stack(
+                [np.asarray(self.accum.x), np.asarray(self.accum.y), np.asarray(self.accum.z)]
+            ),
+            subframe_index=self.subframe_index,
+            width=self.config.width,
+            height=self.config.height,
+            eye=self.camera.eye,
+            lookat=self.camera.lookat,
+            up=self.camera.up,
+            fov_y=self.camera.fov_y,
+        )
+
+    def load_checkpoint(self, path: str) -> None:
+        d = np.load(path if str(path).endswith(".npz") else str(path) + ".npz")
+        if int(d["width"]) != self.config.width or int(d["height"]) != self.config.height:
+            self.resize(int(d["width"]), int(d["height"]))
+        a = d["accum"]
+        self.accum = Vec3(jnp.asarray(a[0]), jnp.asarray(a[1]), jnp.asarray(a[2]))
+        self.subframe_index = int(d["subframe_index"])
+        self.camera = Camera(
+            eye=d["eye"], lookat=d["lookat"], up=d["up"], fov_y=float(d["fov_y"]),
+            aspect_ratio=self.config.width / self.config.height,
+        )

@@ -118,14 +118,10 @@ def probe_pdf(p: Probe, d: Vec3) -> Array:
     return jnp.where(jnp.abs(sin_theta) < 1e-4, 0.0, pdf * scale)
 
 
-def probe_sample(
+def probe_sample_texel(
     p: Probe, state: RngState
-) -> tuple[RngState, Vec3, Vec3, Array]:
-    """Draw (direction, radiance, pdf) by inverse-CDF (ProbeSample, Probe.cuh:138-169).
-
-    Batched over the RNG state's shape. The row search is a searchsorted over
-    the marginal; the column search indexes the per-row CDF matrix.
-    """
+) -> tuple[RngState, Vec3, Vec3, Array, Array, Array]:
+    """probe_sample that also returns the chosen (row, col) texel (for tests)."""
     state, r1, r2 = randf2(state)
     # lower_bound == searchsorted(side='left')
     row = jnp.searchsorted(p.cdf_y, r1, side="left").astype(jnp.int32)
@@ -144,7 +140,17 @@ def probe_sample(
     sin_theta = jnp.sin(v * PI)
     scale = p.width * p.height / (2.0 * PI * PI * jnp.maximum(sin_theta, 1e-8))
     pdf = jnp.where(sin_theta == 0.0, 0.0, pdf * scale)
-    return state, uv_to_dir(u, v), color, pdf
+    return state, uv_to_dir(u, v), color, pdf, row, col
+
+
+def probe_sample(p: Probe, state: RngState) -> tuple[RngState, Vec3, Vec3, Array]:
+    """Draw (direction, radiance, pdf) by inverse-CDF (ProbeSample, Probe.cuh:138-169).
+
+    Batched over the RNG state's shape. The row search is a searchsorted over
+    the marginal; the column search indexes the per-row CDF matrix.
+    """
+    state, d, color, pdf, _, _ = probe_sample_texel(p, state)
+    return state, d, color, pdf
 
 
 def make_test_probe(width: int = 128, height: int = 64, axis=(0.0, 1.0, 0.0), power: float = 10.0) -> Probe:
