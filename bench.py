@@ -1,0 +1,166 @@
+"""Benchmark: incoherent-ray throughput of the Disney wavefront path tracer.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload mirrors the reference's headline config (BASELINE.md): 1200x800
+frame, Disney path tracing with probe NEE, max depth 4, on a procedural
+box-city scene sized like lost_empire.obj (~150k triangles; the reference's
+scene files are external hard-coded Windows paths and not in the repo, so a
+same-scale procedural stand-in is used). The metric counts every traced ray
+(radiance + shadow) exactly, as accumulated on-device by the wavefront loop.
+
+vs_baseline is against the 100 Mrays/s north-star target (BASELINE.json) —
+the reference publishes no Mrays/s number of its own.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_city_scene(n_boxes=12500, seed=0):
+    """~12.5k boxes x 12 tris = 150k triangles, lost_empire scale."""
+    from optixpathtracer_tpu.core.materials import make_material
+    from optixpathtracer_tpu.core.scene import HostScene, Mesh
+
+    rng = np.random.default_rng(seed)
+    hs = HostScene()
+
+    # ground slab
+    hs.add_box(make_material(color=(0.75, 0.75, 0.75)), pos=(0, -0.5, 0), extent=(60, 0.5, 60))
+
+    # one fused mesh of random boxes (one material per color bucket)
+    centers = rng.uniform(-50, 50, size=(n_boxes, 2)).astype(np.float32)
+    heights = rng.gamma(2.0, 1.2, size=n_boxes).astype(np.float32) + 0.3
+    widths = rng.uniform(0.2, 0.9, size=(n_boxes, 2)).astype(np.float32)
+
+    # build 8 material buckets, each a single fused mesh
+    n_buckets = 8
+    bucket = rng.integers(0, n_buckets, n_boxes)
+    base = np.array(
+        [[0.8, 0.3, 0.2], [0.2, 0.7, 0.3], [0.25, 0.35, 0.8], [0.8, 0.75, 0.3],
+         [0.6, 0.6, 0.6], [0.8, 0.5, 0.2], [0.4, 0.2, 0.6], [0.7, 0.7, 0.9]],
+        np.float32,
+    )
+    unit_v, unit_f = _unit_box()
+    for b in range(n_buckets):
+        idx = np.nonzero(bucket == b)[0]
+        if len(idx) == 0:
+            continue
+        k = len(idx)
+        scale = np.stack([widths[idx, 0], heights[idx] * 0.5, widths[idx, 1]], -1)
+        offset = np.stack(
+            [centers[idx, 0], heights[idx] * 0.5, centers[idx, 1]], -1
+        )
+        verts = unit_v[None] * scale[:, None, :] + offset[:, None, :]
+        faces = unit_f[None] + (np.arange(k)[:, None, None] * len(unit_v))
+        mat = make_material(color=tuple(base[b]), roughness=float(rng.uniform(0.3, 0.9)))
+        hs.add_mesh(
+            Mesh(
+                vertices=verts.reshape(-1, 3).astype(np.float32),
+                indices=faces.reshape(-1, 3).astype(np.int32),
+                material=mat,
+            )
+        )
+    return hs
+
+
+def _unit_box():
+    v = np.array(
+        [[-1, -1, -1], [1, -1, -1], [1, 1, -1], [-1, 1, -1],
+         [-1, -1, 1], [1, -1, 1], [1, 1, 1], [-1, 1, 1]],
+        np.float32,
+    )
+    f = np.array(
+        [[0, 1, 2], [0, 2, 3], [4, 6, 5], [4, 7, 6], [0, 4, 5], [0, 5, 1],
+         [3, 2, 6], [3, 6, 7], [0, 3, 7], [0, 7, 4], [1, 5, 6], [1, 6, 2]],
+        np.int32,
+    )
+    return v, f
+
+
+def main():
+    # allow CPU fallback for local smoke runs: bench.py --cpu
+    if "--cpu" in sys.argv:
+        os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=1")
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+
+    from optixpathtracer_tpu.builder import compile_scene
+    from optixpathtracer_tpu.core.camera import Camera
+    from optixpathtracer_tpu.engine.renderer import Renderer
+    from optixpathtracer_tpu.engine.wavefront import RenderConfig
+    from optixpathtracer_tpu.lights.probe import build_probe
+
+    small = "--small" in sys.argv
+    width, height = (320, 240) if small else (1200, 800)
+    spp = 1 if small else 2
+    n_boxes = 400 if small else 12500
+
+    hs = build_city_scene(n_boxes=n_boxes)
+    t0 = time.perf_counter()
+    cs = compile_scene(hs, leaf_size=4)
+    build_s = time.perf_counter() - t0
+
+    # sky probe with a sun
+    sky = np.full((64, 128, 3), 0.4, np.float32)
+    sky[8:12, 30:34] = (60.0, 55.0, 45.0)
+    probe = build_probe(sky)
+
+    cfg = RenderConfig(width=width, height=height, samples_per_launch=spp, max_depth=4)
+    cam = Camera(
+        eye=(55.0, 18.0, 55.0), lookat=(0.0, 2.0, 0.0), up=(0, 1, 0), fov_y=45,
+        aspect_ratio=width / height,
+    )
+    r = Renderer(cs, probe, cfg, cam)
+
+    # warmup / compile
+    t0 = time.perf_counter()
+    r.render()
+    compile_s = time.perf_counter() - t0
+
+    # timed progressive frames
+    frames = 2 if small else 4
+    rays = 0.0
+    t0 = time.perf_counter()
+    for _ in range(frames):
+        r.render()
+        rays += float(r._last.rays_traced)
+    dt = time.perf_counter() - t0
+
+    mrays = rays / dt / 1e6
+    fps = frames / dt
+    result = {
+        "metric": "Mrays/s incoherent (Disney PT, depth 4, 150k-tri city, 1200x800)",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / 100.0, 4),
+    }
+    print(json.dumps(result))
+    print(
+        json.dumps(
+            {
+                "detail": {
+                    "fps": round(fps, 4),
+                    "spp_per_launch": spp,
+                    "rays_total": rays,
+                    "bvh_build_s": round(build_s, 2),
+                    "first_frame_incl_compile_s": round(compile_s, 2),
+                    "triangles": cs.num_triangles,
+                    "devices": [str(d) for d in jax.devices()][:4],
+                }
+            }
+        ),
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -100,6 +100,7 @@ class SampleOutput(NamedTuple):
     alpha: Vec3  # coverage / shadow-catcher alpha mean
     normal: Vec3  # first-bounce AOV mean
     albedo: Vec3  # first-bounce AOV mean
+    rays_traced: Array  # scalar: exact radiance+shadow ray count (bench metric)
 
 
 def _hit_geometry(cs: CompiledScene, rec, ray_dir: Vec3, use_shading: bool):
@@ -166,21 +167,28 @@ def trace_wavefront(
     pixel_x: Array,
     pixel_y: Array,
     subframe: Array,
+    active_mask: Array | None = None,
 ) -> SampleOutput:
     """Render cfg.samples_per_launch paths for each pixel in the wavefront.
 
     pixel_x/pixel_y: (N,) int32 pixel coordinates (any subset of the frame —
-    full frame, sharded tile, or foveation ring).
+    full frame, sharded tile, or foveation ring). active_mask (optional bool
+    (N,)) culls lanes up-front — the foveation annulus test (sv4
+    deviceProgram.cu:421-425): culled lanes trace nothing and output zeros.
     """
     n = pixel_x.shape[0]
     w = jnp.float32(cfg.width)
     h = jnp.float32(cfg.height)
     pix_index = (pixel_y * cfg.width + pixel_x).astype(jnp.uint32)
 
-    zero = Vec3.zeros((n,))
+    # tied to the (possibly device-sharded) pixel inputs so loop carries are
+    # device-varying under shard_map
+    zero_scalar = jnp.sum(pixel_x).astype(jnp.float32) * 0.0
+    zf = pixel_x.astype(jnp.float32) * 0.0
+    zero = Vec3(zf, zf, zf)
 
     def sample_body(s, carry):
-        acc_color, acc_alpha, acc_normal, acc_albedo, acc_backplate = carry
+        acc_color, acc_alpha, acc_normal, acc_albedo, acc_backplate, acc_rays = carry
         # per (pixel, subframe, sample) stream
         state = RngState.seed(
             tea(pix_index, subframe.astype(jnp.uint32) * cfg.samples_per_launch + s)
@@ -196,11 +204,9 @@ def trace_wavefront(
         dx = 2.0 * (pixel_x.astype(jnp.float32) + jx) / w - 1.0
         dy = 2.0 * (pixel_y.astype(jnp.float32) + jy) / h - 1.0
         d = normalize(cam.u * dx + cam.v * dy + cam.w * 1.0)
-        o = Vec3(
-            jnp.broadcast_to(cam.eye.x, (n,)),
-            jnp.broadcast_to(cam.eye.y, (n,)),
-            jnp.broadcast_to(cam.eye.z, (n,)),
-        )
+        # zf ties the (replicated) camera origin to the sharded pixel inputs so
+        # the bounce-loop carry is device-varying under shard_map
+        o = Vec3(cam.eye.x + zf, cam.eye.y + zf, cam.eye.z + zf)
 
         bu, bv = dir_to_uv(d)
         backplate = probe_eval(probe, bu, bv)
@@ -208,15 +214,16 @@ def trace_wavefront(
         path = dict(
             o=o,
             d=d,
-            throughput=Vec3.ones((n,)),
-            eta=jnp.ones((n,)),
+            throughput=Vec3(zf + 1.0, zf + 1.0, zf + 1.0),
+            eta=zf + 1.0,
             radiance=zero,
             alpha=zero,
             normal=zero,
             albedo=zero,
-            done=jnp.zeros((n,), bool),
-            secondary=jnp.zeros((n,), bool),
+            done=(zf > 1.0) if active_mask is None else ~active_mask,
+            secondary=zf > 1.0,
             state=state,
+            rays=zero_scalar,
         )
 
         def bounce_body(depth, path):
@@ -281,6 +288,9 @@ def trace_wavefront(
             done = path["done"] | (active & ~rec.hit) | bsdf_dead
             secondary = path["secondary"] | cont
 
+            rays = path["rays"] + jnp.sum(active.astype(jnp.float32)) + jnp.sum(
+                shaded.astype(jnp.float32)
+            )
             return dict(
                 o=new_o,
                 d=new_d,
@@ -293,6 +303,7 @@ def trace_wavefront(
                 done=done,
                 secondary=secondary,
                 state=state,
+                rays=rays,
             )
 
         path = jax.lax.fori_loop(0, cfg.max_depth + 1, bounce_body, path)
@@ -303,10 +314,11 @@ def trace_wavefront(
             acc_normal + path["normal"],
             acc_albedo + path["albedo"],
             backplate,  # last sample's backplate, as in the reference
+            acc_rays + path["rays"],
         )
 
-    init = (zero, zero, zero, zero, zero)
-    color, alpha, normal, albedo, backplate = jax.lax.fori_loop(
+    init = (zero, zero, zero, zero, zero, zero_scalar)
+    color, alpha, normal, albedo, backplate, rays = jax.lax.fori_loop(
         0, cfg.samples_per_launch, sample_body, init
     )
 
@@ -317,7 +329,9 @@ def trace_wavefront(
     # composite over backplate (deviceProgram.cu:454): spp-summed radiance
     # plus backplate weighted by uncovered fraction
     color = backplate * spp * (1.0 - alpha) + color
-    return SampleOutput(color=color, alpha=alpha, normal=normal, albedo=albedo)
+    return SampleOutput(
+        color=color, alpha=alpha, normal=normal, albedo=albedo, rays_traced=rays
+    )
 
 
 def accumulate(

@@ -93,17 +93,23 @@ def _traverse(
         1.0 / jnp.where(jnp.abs(d.z) > 1e-20, d.z, 1e-20),
     )
 
-    stack = jnp.zeros((n, STACK_DEPTH), _I32)
+    # initial carries are derived from the ray inputs so that under
+    # shard_map (manual axes) they inherit the inputs' device-varying type —
+    # a literal jnp.zeros carry would be device-invariant and fail to match
+    # the varying loop outputs.
+    zero_f = (o.x + d.x) * 0.0  # d carries the device-varying pixel dependence
+    zero_i = zero_f.astype(_I32)
+    stack = jnp.zeros((n, STACK_DEPTH), _I32) + zero_i[:, None]
     # stack[:, 0] pre-seeded with the root internal node (ref 0)
-    sp = jnp.ones((n,), _I32)  # stack pointer; 0 == done
+    sp = zero_i + 1  # stack pointer; 0 == done
 
     state = dict(
         stack=stack,
         sp=sp,
-        best_t=jnp.broadcast_to(t_max, (n,)).astype(jnp.float32),
-        best_tri=jnp.full((n,), -1, _I32),
-        best_u=jnp.zeros((n,), jnp.float32),
-        best_v=jnp.zeros((n,), jnp.float32),
+        best_t=jnp.broadcast_to(t_max, (n,)).astype(jnp.float32) + zero_f,
+        best_tri=zero_i - 1,
+        best_u=zero_f,
+        best_v=zero_f,
     )
 
     t_min = jnp.broadcast_to(t_min, (n,)).astype(jnp.float32)
