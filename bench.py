@@ -106,7 +106,7 @@ def main():
 
     hs = build_city_scene(n_boxes=n_boxes)
     t0 = time.perf_counter()
-    cs = compile_scene(hs, leaf_size=4)
+    cs = compile_scene(hs, leaf_size=8, wide_width=8)
     build_s = time.perf_counter() - t0
 
     # sky probe with a sun
@@ -114,7 +114,10 @@ def main():
     sky[8:12, 30:34] = (60.0, 55.0, 45.0)
     probe = build_probe(sky)
 
-    cfg = RenderConfig(width=width, height=height, samples_per_launch=spp, max_depth=4)
+    cfg = RenderConfig(
+        width=width, height=height, samples_per_launch=spp, max_depth=4,
+        traversal="bfs", bfs_cap_factor=4,
+    )
     cam = Camera(
         eye=(55.0, 18.0, 55.0), lookat=(0.0, 2.0, 0.0), up=(0, 1, 0), fov_y=45,
         aspect_ratio=width / height,

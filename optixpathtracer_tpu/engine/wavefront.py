@@ -47,6 +47,7 @@ from ..core.math import (
 from ..core.rng import RngState, randf, tea
 from ..lights.probe import Probe, dir_to_uv, probe_eval, probe_sample
 from ..ops.traverse import any_hit, closest_hit
+from ..ops.traverse_bfs import any_hit_bfs, closest_hit_bfs
 from ..shade import disney
 
 Array = jax.Array
@@ -69,6 +70,9 @@ class RenderConfig:
     use_shading_normals: bool = False  # original CH uses geometric normals
     antialias: bool = True  # sv4 USE_ANTIALIASING
     clamp_radiance: float = 10.0  # accumulation clamp (:462)
+    traversal: str = "lockstep"  # "lockstep" (exact per-ray loop, CPU-fast)
+    #                              or "bfs" (level-synchronous worklist, TPU-fast)
+    bfs_cap_factor: int = 4  # worklist capacity multiple for the bfs backend
 
 
 class CameraParams(NamedTuple):
@@ -132,6 +136,21 @@ def _hit_geometry(cs: CompiledScene, rec, ray_dir: Vec3, use_shading: bool):
     return n, mat, albedo
 
 
+def _closest_hit(cs, cfg, o, d, t_min, t_max):
+    if cfg.traversal == "bfs":
+        return closest_hit_bfs(
+            cs.wide, o, d, t_min, t_max, cap_factor=cfg.bfs_cap_factor
+        ).record
+    return closest_hit(cs.bvh, cs.scene, o, d, t_min, t_max)
+
+
+def _any_hit(cs, cfg, o, d, t_min, t_max):
+    if cfg.traversal == "bfs":
+        occ, _ = any_hit_bfs(cs.wide, o, d, t_min, t_max, cap_factor=cfg.bfs_cap_factor)
+        return occ
+    return any_hit(cs.bvh, cs.scene, o, d, t_min, t_max)
+
+
 def _nee(cs, probe, cfg, p, n, wo, mat, albedo, eta_i, eta_o, active, state):
     """Probe next-event estimation with balance-heuristic MIS
     (SampleLights semantics, deviceProgram.cu:252-292). Returns
@@ -140,7 +159,7 @@ def _nee(cs, probe, cfg, p, n, wo, mat, albedo, eta_i, eta_o, active, state):
     state, wi, sky_color, sky_pdf = probe_sample(probe, state)
 
     t_max = jnp.where(active, cfg.t_max, 0.0)
-    occluded = any_hit(cs.bvh, cs.scene, p, wi, cfg.shadow_t_min, t_max)
+    occluded = _any_hit(cs, cfg, p, wi, cfg.shadow_t_min, t_max)
 
     b_pdf = disney.bsdf_pdf(mat, eta_i, eta_o, n, wo, wi)
     f = disney.bsdf_eval(mat, albedo, eta_i, eta_o, n, wo, wi)
@@ -229,7 +248,7 @@ def trace_wavefront(
         def bounce_body(depth, path):
             active = ~path["done"]
             t_max = jnp.where(active, cfg.t_max, 0.0)
-            rec = closest_hit(cs.bvh, cs.scene, path["o"], path["d"], cfg.t_min, t_max)
+            rec = _closest_hit(cs, cfg, path["o"], path["d"], cfg.t_min, t_max)
             hit = rec.hit & active
 
             n_hit, mat, albedo = _hit_geometry(cs, rec, path["d"], cfg.use_shading_normals)
