@@ -114,9 +114,11 @@ def main():
     sky[8:12, 30:34] = (60.0, 55.0, 45.0)
     probe = build_probe(sky)
 
+    # dispatch in 1/8-frame chunks: stays under the TPU tunnel's per-dispatch
+    # RPC deadline and bounds the BFS worklist memory
     cfg = RenderConfig(
         width=width, height=height, samples_per_launch=spp, max_depth=4,
-        traversal="bfs", bfs_cap_factor=4,
+        traversal="bfs", bfs_cap_factor=4, dispatch_tiles=1 if small else 8,
     )
     cam = Camera(
         eye=(55.0, 18.0, 55.0), lookat=(0.0, 2.0, 0.0), up=(0, 1, 0), fov_y=45,

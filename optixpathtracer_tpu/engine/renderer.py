@@ -40,6 +40,7 @@ def _render_step(
     accum: Vec3,
     subframe: jax.Array,
 ):
+    """One progressive launch over a pixel chunk (the optixLaunch unit)."""
     out = trace_wavefront(cs, probe, cfg, cam, pixel_x, pixel_y, subframe)
     new_accum = accumulate(
         accum, out.color, subframe, cfg.samples_per_launch, cfg.clamp_radiance
@@ -92,19 +93,46 @@ class Renderer:
 
     # -- rendering -------------------------------------------------------------
     def render(self) -> np.ndarray:
-        """One progressive launch; returns the (H, W, 4) uint8 frame."""
+        """One progressive launch; returns the (H, W, 4) uint8 frame.
+
+        With cfg.dispatch_tiles > 1 the frame is traced in that many
+        sequential pixel-chunk dispatches (each under the TPU tunnel's
+        per-dispatch deadline; also bounds BFS worklist memory)."""
         t0 = time.perf_counter()
         cam = CameraParams.from_camera(self.camera)
-        self.accum, frame, self._last = _render_step(
-            self.cs,
-            self.probe,
-            self.config,
-            cam,
-            self._px,
-            self._py,
-            self.accum,
-            jnp.uint32(self.subframe_index),
-        )
+        tiles = max(1, self.config.dispatch_tiles)
+        n = self._px.shape[0]
+        chunk = -(-n // tiles)
+        sub = jnp.uint32(self.subframe_index)
+        if tiles == 1:
+            self.accum, frame, self._last = _render_step(
+                self.cs, self.probe, self.config, cam,
+                self._px, self._py, self.accum, sub,
+            )
+        else:
+            accum_parts, frame_parts, outs = [], [], []
+            for t in range(tiles):
+                s = t * chunk
+                e = min(n, s + chunk)
+                a_chunk = jax.tree.map(lambda v: v[s:e], self.accum)
+                na, fr, out = _render_step(
+                    self.cs, self.probe, self.config, cam,
+                    self._px[s:e], self._py[s:e], a_chunk, sub,
+                )
+                accum_parts.append(na)
+                frame_parts.append(fr)
+                outs.append(out)
+            self.accum = jax.tree.map(
+                lambda *xs: jnp.concatenate(xs), *accum_parts
+            )
+            frame = jnp.concatenate(frame_parts)
+
+            def _merge(*xs):
+                if xs[0].ndim == 0:  # scalar metrics (ray counts) sum up
+                    return sum(xs[1:], xs[0])
+                return jnp.concatenate(xs)
+
+            self._last = jax.tree.map(_merge, *outs)
         frame.block_until_ready()
         self.subframe_index += 1
         self._frame_u8 = frame

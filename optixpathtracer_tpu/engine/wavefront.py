@@ -73,6 +73,9 @@ class RenderConfig:
     traversal: str = "lockstep"  # "lockstep" (exact per-ray loop, CPU-fast)
     #                              or "bfs" (level-synchronous worklist, TPU-fast)
     bfs_cap_factor: int = 4  # worklist capacity multiple for the bfs backend
+    dispatch_tiles: int = 1  # split each launch into this many sequential
+    #   dispatches (the TPU tunnel enforces an RPC deadline per dispatch, and
+    #   smaller chunks bound the BFS worklist memory)
 
 
 class CameraParams(NamedTuple):

@@ -1,0 +1,41 @@
+import numpy as np
+
+from optixpathtracer_tpu.builder import compile_scene
+from optixpathtracer_tpu.core.camera import Camera
+from optixpathtracer_tpu.core.materials import make_material
+from optixpathtracer_tpu.core.scene import HostScene
+from optixpathtracer_tpu.engine.renderer import Renderer
+from optixpathtracer_tpu.engine.spectral import SpectralRenderer
+from optixpathtracer_tpu.engine.wavefront import RenderConfig
+from optixpathtracer_tpu.lights.probe import build_probe
+
+
+def test_spectral_render_close_to_rgb_render():
+    """On an untinted diffuse scene the spectral and RGB engines must agree
+    (same light transport, different color math)."""
+    hs = HostScene()
+    hs.add_box(make_material(color=(0.75, 0.75, 0.75)), pos=(0, -0.1, 0), extent=(6, 0.1, 6))
+    hs.add_box(make_material(color=(0.7, 0.25, 0.15)), pos=(0, 0.5, 0), extent=(0.5, 0.5, 0.5))
+    cs = compile_scene(hs)
+    probe = build_probe(np.full((16, 32, 3), 0.5, np.float32))
+    cfg = RenderConfig(width=48, height=36, samples_per_launch=8, max_depth=2)
+    cam = Camera(eye=(3, 2, 4), lookat=(0, 0.4, 0), up=(0, 1, 0), fov_y=45,
+                 aspect_ratio=48 / 36)
+
+    sr = SpectralRenderer(cs, probe, cfg, cam)
+    img_s = sr.render()
+    img_s = sr.render()
+
+    rr = Renderer(cs, probe, cfg, cam)
+    rr.render()
+    rr.render()
+    img_r = rr.accum_image()
+
+    assert np.all(np.isfinite(img_s))
+    assert img_s.min() >= -1e-3
+    # low-frequency agreement: mean brightness within 15%, per-region 25%
+    assert abs(img_s.mean() - img_r.mean()) / img_r.mean() < 0.15
+    h = img_s.shape[0]
+    for sl in (slice(0, h // 2), slice(h // 2, h)):
+        a, b = img_s[sl].mean(), img_r[sl].mean()
+        assert abs(a - b) / max(b, 1e-6) < 0.25
