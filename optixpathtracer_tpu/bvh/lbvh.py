@@ -197,12 +197,35 @@ def build_bvh(
     v2: np.ndarray,
     leaf_size: int = 4,
     sweeps: int | None = None,
+    build_device: str | None = "cpu",
 ) -> BuildResult:
     """Build from host (T,3) triangle vertex arrays.
 
-    Sorting/emit/refit run on device; only the permutation comes back to the
-    host (to reorder the scene arrays once at upload time).
+    The builder is pure jnp so it can run on any backend. By default it is
+    pinned to the CPU backend (`build_device="cpu"`): the build is a one-time
+    eager sequence of small ops, and on the tunneled TPU each eager dispatch
+    costs ~5-10ms (memory/tpu-perf-facts) — hundreds of dispatches made scene
+    builds take minutes. Pass build_device=None to run on the default device
+    (e.g., for on-device rebuilds of dynamic geometry inside one jit).
     """
+    if build_device is not None:
+        try:
+            dev = jax.devices(build_device)[0]
+        except RuntimeError:
+            dev = None
+        if dev is not None:
+            with jax.default_device(dev):
+                return _build_bvh_impl(v0, v1, v2, leaf_size, sweeps)
+    return _build_bvh_impl(v0, v1, v2, leaf_size, sweeps)
+
+
+def _build_bvh_impl(
+    v0: np.ndarray,
+    v1: np.ndarray,
+    v2: np.ndarray,
+    leaf_size: int,
+    sweeps: int | None,
+) -> BuildResult:
     t = v0.shape[0]
     pad_to = max(leaf_size, ((t + leaf_size - 1) // leaf_size) * leaf_size)
 

@@ -101,8 +101,101 @@ def save_obj(path: str, scene: HostScene) -> None:
                 nbase += len(mesh.normals)
 
 
-def load_obj(path: str) -> HostScene:
-    """OBJ file -> HostScene with per-(shape, material) meshes."""
+def _find_mtllibs(path: str) -> list[str]:
+    """Cheap byte-level scan for mtllib declarations (native path helper)."""
+    libs = []
+    with open(path, "rb") as f:
+        data = f.read()
+    pos = 0
+    while True:
+        idx = data.find(b"mtllib", pos)
+        if idx < 0:
+            break
+        if idx == 0 or data[idx - 1 : idx] in (b"\n", b"\r"):
+            eol = data.find(b"\n", idx)
+            eol = len(data) if eol < 0 else eol
+            libs += data[idx + 6 : eol].decode(errors="replace").split()
+        pos = idx + 6
+    return libs
+
+
+def _load_obj_native(path: str) -> HostScene | None:
+    """Fast path: C++ tokenizer + vectorized numpy assembly (same semantics
+    as the Python parser: per-(shape, material) split + triplet dedupe)."""
+    from .native import parse_obj_native
+
+    parsed = parse_obj_native(path)
+    if parsed is None:
+        return None
+    pos, nrm, uv, tris, names = parsed
+    obj_dir = os.path.dirname(os.path.abspath(path))
+    mtl: dict[str, dict] = {}
+    for lib in _find_mtllibs(path):
+        mtl.update(_parse_mtl(os.path.join(obj_dir, lib)))
+
+    scene = HostScene()
+    known_textures: dict[str, int] = {}
+    if len(tris) == 0:
+        return scene
+
+    for g, (shape_name, mat_name) in enumerate(names):
+        sel = tris[tris[:, 9] == g]
+        if len(sel) == 0:
+            continue
+        corners = np.stack(
+            [sel[:, [0, 3, 6]], sel[:, [1, 4, 7]], sel[:, [2, 5, 8]]], axis=1
+        ).reshape(-1, 3)  # (3F, [v, vt, vn])
+        uniq, inverse = np.unique(corners, axis=0, return_inverse=True)
+        faces = inverse.reshape(-1, 3).astype(np.int32)
+        verts = pos[uniq[:, 0]]
+        any_uv = (uniq[:, 1] >= 0).any() and len(uv)
+        any_n = (uniq[:, 2] >= 0).any() and len(nrm)
+        uv_out = uv[np.maximum(uniq[:, 1], 0)] * (uniq[:, 1] >= 0)[:, None] if any_uv else None
+        n_out = nrm[np.maximum(uniq[:, 2], 0)] * (uniq[:, 2] >= 0)[:, None] if any_n else None
+
+        m = mtl.get(mat_name, {"kd": (0.6, 0.6, 0.6), "ke": (0.0, 0.0, 0.0), "map_kd": ""})
+        tex_id = -1
+        tex_name = m.get("map_kd", "")
+        if tex_name:
+            if tex_name in known_textures:
+                tex_id = known_textures[tex_name]
+            else:
+                tex_path = os.path.join(obj_dir, tex_name.replace("\\", "/"))
+                if os.path.exists(tex_path):
+                    tex_id = scene.add_texture(load_image(tex_path, flip_y=True))
+                known_textures[tex_name] = tex_id
+        scene.add_mesh(
+            Mesh(
+                vertices=verts.astype(np.float32),
+                indices=faces,
+                normals=n_out.astype(np.float32) if n_out is not None else None,
+                texcoords=uv_out.astype(np.float32) if uv_out is not None else None,
+                material=make_material(color=m["kd"], emission=m["ke"], texture_id=tex_id),
+            )
+        )
+    return scene
+
+
+def load_obj(path: str, prefer_native: bool = True) -> HostScene:
+    """OBJ file -> HostScene with per-(shape, material) meshes.
+
+    Uses the native C++ tokenizer (native/src/objparser.cpp) when available;
+    falls back to the pure-Python parser with identical semantics.
+    """
+    if prefer_native:
+        try:
+            scene = _load_obj_native(path)
+            if scene is not None:
+                return scene
+        except FileNotFoundError:
+            raise
+        except Exception:
+            pass  # any native-path problem falls back to the Python parser
+    return _load_obj_python(path)
+
+
+def _load_obj_python(path: str) -> HostScene:
+    """Pure-Python OBJ parser (reference-fallback path)."""
     obj_dir = os.path.dirname(os.path.abspath(path))
     positions: list = []
     normals: list = []

@@ -1,0 +1,119 @@
+"""Run configuration + CLI — new work by design.
+
+The reference has NO config system: every knob is a compile-time #define or a
+hard-coded absolute Windows path (SURVEY.md §5 'Config / flag system'; e.g.
+scene path main.cpp:171, HDR main.cpp:175, FOV_ON SimplePathtracer.cpp:23,
+spp main.cpp:134). Here the whole LaunchParams/#define surface is one JSON-
+serializable dataclass tree driving the model presets.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from typing import Any
+
+from ..engine.foveated import FoveationConfig
+from ..engine.wavefront import RenderConfig
+
+
+@dataclasses.dataclass
+class CameraSpec:
+    eye: tuple = (3.0, 2.0, 4.0)
+    lookat: tuple = (0.0, 0.4, 0.0)
+    up: tuple = (0.0, 1.0, 0.0)
+    fov_y: float = 35.0
+
+
+@dataclasses.dataclass
+class RunConfig:
+    """Top-level run spec: model preset + scene + camera + render knobs."""
+
+    model: str = "disney_pt"  # one of models.PRESETS
+    scene: str = ""  # .obj / .gltf / .glb path, or "" for procedural preset
+    probe: str = ""  # .hdr path, or "" for uniform sky
+    probe_level: float = 0.5  # uniform sky radiance when probe == ""
+    out: str = "out.png"
+    frames: int = 1  # progressive launches
+    width: int = 1200
+    height: int = 800
+    spp: int = 4
+    max_depth: int = 4
+    traversal: str = "lockstep"
+    denoise: bool = False
+    tonemap: str = "reinhard"
+    exposure: float = 0.0
+    checkpoint: str = ""  # resume/save progressive state here
+    metrics: str = ""  # JSONL per-frame metrics path
+    gaze: tuple = (-1, -1)  # foveated: gaze pixel (defaults to center)
+    camera: CameraSpec = dataclasses.field(default_factory=CameraSpec)
+    foveation: FoveationConfig = dataclasses.field(default_factory=FoveationConfig)
+
+    def render_config(self, **overrides) -> RenderConfig:
+        return RenderConfig(
+            width=self.width,
+            height=self.height,
+            samples_per_launch=self.spp,
+            max_depth=self.max_depth,
+            traversal=self.traversal,
+            **overrides,
+        )
+
+    # -- (de)serialization ---------------------------------------------------
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def from_json(text: str) -> "RunConfig":
+        d = json.loads(text)
+        cam = CameraSpec(**{k: tuple(v) if isinstance(v, list) else v
+                            for k, v in d.pop("camera", {}).items()})
+        fov = FoveationConfig(**d.pop("foveation", {}))
+        d = {k: tuple(v) if isinstance(v, list) else v for k, v in d.items()}
+        return RunConfig(camera=cam, foveation=fov, **d)
+
+
+def add_config_args(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument("--config", default="", help="JSON RunConfig file")
+    parser.add_argument("--model", default=None, choices=[
+        "hello_raytracing", "whitted", "disney_pt", "spectral", "foveated"])
+    parser.add_argument("--scene", default=None)
+    parser.add_argument("--probe", default=None)
+    parser.add_argument("--out", default=None)
+    parser.add_argument("--frames", type=int, default=None)
+    parser.add_argument("--width", type=int, default=None)
+    parser.add_argument("--height", type=int, default=None)
+    parser.add_argument("--spp", type=int, default=None)
+    parser.add_argument("--max-depth", type=int, default=None, dest="max_depth")
+    parser.add_argument("--traversal", default=None, choices=["lockstep", "bfs"])
+    parser.add_argument("--denoise", action="store_true", default=None)
+    parser.add_argument("--tonemap", default=None, choices=["none", "sqrt", "reinhard"])
+    parser.add_argument("--exposure", type=float, default=None)
+    parser.add_argument("--checkpoint", default=None)
+    parser.add_argument("--metrics", default=None)
+    parser.add_argument("--eye", type=float, nargs=3, default=None)
+    parser.add_argument("--lookat", type=float, nargs=3, default=None)
+    parser.add_argument("--fov-y", type=float, default=None, dest="fov_y")
+    parser.add_argument("--gaze", type=int, nargs=2, default=None)
+
+
+def config_from_args(args: argparse.Namespace) -> RunConfig:
+    cfg = RunConfig()
+    if args.config:
+        with open(args.config) as f:
+            cfg = RunConfig.from_json(f.read())
+    for field in ("model", "scene", "probe", "out", "frames", "width", "height",
+                  "spp", "max_depth", "traversal", "denoise", "tonemap",
+                  "exposure", "checkpoint", "metrics"):
+        v = getattr(args, field, None)
+        if v is not None:
+            setattr(cfg, field, v)
+    if args.eye is not None:
+        cfg.camera.eye = tuple(args.eye)
+    if args.lookat is not None:
+        cfg.camera.lookat = tuple(args.lookat)
+    if args.fov_y is not None:
+        cfg.camera.fov_y = args.fov_y
+    if args.gaze is not None:
+        cfg.gaze = tuple(args.gaze)
+    return cfg
