@@ -93,6 +93,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from optixpathtracer_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from optixpathtracer_tpu.builder import compile_scene
     from optixpathtracer_tpu.core.camera import Camera
     from optixpathtracer_tpu.engine.renderer import Renderer

@@ -164,6 +164,35 @@ def cmd_render(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_view(args: argparse.Namespace) -> int:
+    """Interactive viewer: progressive render streamed to the browser."""
+    from .builder import compile_scene
+    from .core.camera import Camera
+    from .viewer.server import run_interactive
+    from . import models
+
+    cfg = config_from_args(args)
+    camera = Camera(
+        eye=cfg.camera.eye, lookat=cfg.camera.lookat, up=cfg.camera.up,
+        fov_y=cfg.camera.fov_y, aspect_ratio=cfg.width / cfg.height,
+    )
+    hs, _ = _load_scene(cfg)
+    cs = compile_scene(hs, leaf_size=8)
+    probe = _load_probe(cfg)
+    if cfg.model == "foveated":
+        r = models.make_foveated_renderer(
+            cs, probe, camera, cfg.width, cfg.height, cfg.max_depth,
+            traversal=cfg.traversal,
+        )
+    else:
+        r = models.make_disney_pt_renderer(
+            cs, probe, camera, cfg.width, cfg.height, cfg.spp, cfg.max_depth,
+            traversal=cfg.traversal,
+        )
+    run_interactive(r, camera, port=args.port, max_frames=args.max_frames)
+    return 0
+
+
 def cmd_bench(args: argparse.Namespace) -> int:
     import subprocess
 
@@ -171,12 +200,21 @@ def cmd_bench(args: argparse.Namespace) -> int:
 
 
 def main(argv=None) -> int:
+    from .utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(prog="optixpathtracer_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
 
     p_render = sub.add_parser("render", help="render a scene with a model preset")
     add_config_args(p_render)
     p_render.set_defaults(fn=cmd_render)
+
+    p_view = sub.add_parser("view", help="interactive browser viewer")
+    add_config_args(p_view)
+    p_view.add_argument("--port", type=int, default=8000)
+    p_view.add_argument("--max-frames", type=int, default=None, dest="max_frames")
+    p_view.set_defaults(fn=cmd_view)
 
     p_bench = sub.add_parser("bench", help="run the throughput benchmark")
     p_bench.add_argument("--small", action="store_true")

@@ -76,6 +76,43 @@ def uniform_grid_sample_2d(c: Array, dx: int, dy: int) -> Tuple[Array, Array]:
     return x / dx, y / dy
 
 
+def best_candidate_blue_noise(n_points: int, dim: int = 2, candidates: int = 16, seed: int = 0):
+    """Host-side best-candidate blue-noise point set (sample.h BestCandidate
+    :80-131 semantics): each point is the candidate farthest (toroidal) from
+    the existing set. Returns (n_points, dim) float32 in [0, 1)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    pts = np.empty((n_points, dim), np.float32)
+    pts[0] = rng.random(dim)
+    for i in range(1, n_points):
+        cand = rng.random((candidates, dim)).astype(np.float32)
+        delta = np.abs(cand[:, None, :] - pts[None, :i, :])
+        delta = np.minimum(delta, 1.0 - delta)  # toroidal wrap
+        d = (delta**2).sum(-1).min(axis=1)
+        pts[i] = cand[int(d.argmax())]
+    return pts
+
+
+def projective_blue_noise(n_points: int, dim: int = 2, candidates: int = 16, seed: int = 0):
+    """Projective variant (sample.h ProjectiveBlueNoise :133-214): candidates
+    maximize the minimum over full-D distance AND each 1-D projection."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    pts = np.empty((n_points, dim), np.float32)
+    pts[0] = rng.random(dim)
+    for i in range(1, n_points):
+        cand = rng.random((candidates, dim)).astype(np.float32)
+        delta = np.abs(cand[:, None, :] - pts[None, :i, :])
+        delta = np.minimum(delta, 1.0 - delta)
+        full = (delta**2).sum(-1).min(axis=1) / dim
+        proj = (delta**2).min(axis=1).min(axis=-1)  # worst 1-D projection
+        score = np.minimum(full, proj)
+        pts[i] = cand[int(score.argmax())]
+    return pts
+
+
 def power_heuristic(nf: Array, f_pdf: Array, ng: Array, g_pdf: Array) -> Array:
     f = nf * f_pdf
     g = ng * g_pdf

@@ -55,6 +55,25 @@ def test_stratified_2d_strata():
     )
 
 
+def test_blue_noise_spacing_beats_random():
+    """Best-candidate sets must have a larger minimum pairwise distance than
+    white noise (the whole point of sample.h's generators)."""
+    from optixpathtracer_tpu.core.sampling import best_candidate_blue_noise
+
+    pts = best_candidate_blue_noise(128, candidates=24, seed=0)
+    rng = np.random.default_rng(0)
+    rand = rng.random((128, 2)).astype(np.float32)
+
+    def min_dist(p):
+        d = np.abs(p[:, None] - p[None, :])
+        d = np.minimum(d, 1 - d)
+        dist = (d**2).sum(-1)
+        np.fill_diagonal(dist, np.inf)
+        return np.sqrt(dist.min())
+
+    assert min_dist(pts) > 2.0 * min_dist(rand)
+
+
 def test_mis_weights_partition_of_unity():
     u1, u2 = _uniforms(128)
     pf = u1 * 5 + 0.1
