@@ -28,6 +28,7 @@ def compile_scene(
     leaf_size: int = 4,
     wide_width: int = 8,
     build_wide_bvh: bool = True,
+    compressed_nodes: bool = False,
 ) -> CompiledScene:
     flat = host.flatten()
     v0, v1, v2 = flat["v"]
@@ -51,5 +52,6 @@ def compile_scene(
             sv2,
             leaf_size=leaf_size,
             width=wide_width,
+            compressed=compressed_nodes,
         )
     return CompiledScene(scene=scene, bvh=res.bvh, num_triangles=len(v0), wide=wide)

@@ -33,12 +33,14 @@ EMPTY = np.int32(0x7FFFFFFF)
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class WideBVH:
-    table: Array  # (Wn, 7*W) float32; child refs bitcast into the last W cols
+    table: Array  # (Wn, 7*W) f32 [bbox | refs]; or compressed (Wn, 4*W) f32
+    #               [3W packed bf16 bbox pairs | W refs] — see pack layout below
     leaf_rows: Array  # (L, K*9) float32 packed triangle vertices
     leaf_tri0: Array  # (L,) int32: global sorted-tri index of each leaf's tri 0
     width: int = dataclasses.field(metadata=dict(static=True))
     leaf_size: int = dataclasses.field(metadata=dict(static=True))
     depth: int = dataclasses.field(metadata=dict(static=True))  # max levels
+    compressed: bool = dataclasses.field(default=False, metadata=dict(static=True))
 
     @property
     def num_nodes(self) -> int:
@@ -170,6 +172,46 @@ def collapse(
     return bbox, refs, max_depth + 1
 
 
+def _bf16_down(x: np.ndarray) -> np.ndarray:
+    """Largest bf16 <= x (conservative box-min rounding), as float32."""
+    bits = x.astype(np.float32).view(np.uint32)
+    trunc = bits & np.uint32(0xFFFF0000)
+    t = trunc.view(np.float32)
+    # one bf16 ulp down where truncation rounded up (negative values)
+    step = np.where(trunc == 0x80000000, np.uint32(0x80010000),
+                    np.where(t >= 0, trunc - 0x10000, trunc + 0x10000)).astype(np.uint32)
+    down = step.view(np.float32)
+    out = np.where(t <= x, t, down)
+    return np.where(np.isfinite(x), out, x).astype(np.float32)
+
+
+def _bf16_up(x: np.ndarray) -> np.ndarray:
+    """Smallest bf16 >= x (conservative box-max rounding), as float32."""
+    return -_bf16_down(-np.asarray(x, np.float32))
+
+
+def pack_compressed(bbox: np.ndarray, refs: np.ndarray) -> np.ndarray:
+    """(Wn, W, 6) f32 boxes + (Wn, W) i32 refs -> (Wn, 4W) f32 rows.
+
+    Per child: 6 bf16 values conservatively dilated (min rounded down, max
+    up) packed two-per-f32 slot as (hi<<16 | lo): slots = [minx|miny],
+    [minz|maxx], [maxy|maxz]. Child refs bitcast into the last W columns.
+    Halves node-gather bytes; the slab test stays exact-conservative.
+    """
+    wn, w, _ = bbox.shape
+    lo = np.empty((wn, w, 3), np.uint32)
+    hi = np.empty((wn, w, 3), np.uint32)
+    mins = _bf16_down(bbox[:, :, 0:3])
+    maxs = _bf16_up(bbox[:, :, 3:6])
+    six = np.concatenate([mins, maxs], axis=2)  # (Wn, W, 6) bf16-valued f32
+    bits = six.view(np.uint32) >> 16  # bf16 payloads (top 16 bits)
+    packed = (bits[:, :, 0::2] << 16) | bits[:, :, 1::2]  # (Wn, W, 3)
+    out = np.zeros((wn, 4 * w), np.float32)
+    out[:, : 3 * w] = packed.reshape(wn, 3 * w).view(np.float32)
+    out[:, 3 * w :] = refs.astype(np.int32).view(np.float32)
+    return out
+
+
 def build_wide(
     child_left,
     child_right,
@@ -182,6 +224,7 @@ def build_wide(
     sorted_v2: np.ndarray,
     leaf_size: int,
     width: int = 8,
+    compressed: bool = False,
 ) -> WideBVH:
     """Assemble the device WideBVH from binary-LBVH arrays + sorted tris."""
     cl = np.asarray(child_left)
@@ -205,9 +248,12 @@ def build_wide(
         bbox, refs, depth = collapse(cl, cr, lm, lM, rm, rM, num_leaves, width)
 
     wn = bbox.shape[0]
-    table = np.zeros((wn, 7 * width), np.float32)
-    table[:, : 6 * width] = bbox.reshape(wn, width * 6)
-    table[:, 6 * width :] = refs.view(np.float32)
+    if compressed:
+        table = pack_compressed(bbox, refs)
+    else:
+        table = np.zeros((wn, 7 * width), np.float32)
+        table[:, : 6 * width] = bbox.reshape(wn, width * 6)
+        table[:, 6 * width :] = refs.view(np.float32)
 
     k = leaf_size
     tri = np.concatenate(
@@ -223,4 +269,5 @@ def build_wide(
         width=width,
         leaf_size=k,
         depth=int(depth),
+        compressed=compressed,
     )

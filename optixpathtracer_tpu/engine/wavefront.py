@@ -76,6 +76,15 @@ class RenderConfig:
     dispatch_tiles: int = 1  # split each launch into this many sequential
     #   dispatches (the TPU tunnel enforces an RPC deadline per dispatch, and
     #   smaller chunks bound the BFS worklist memory)
+    batch_spp: bool = False  # trace all samples_per_launch in ONE expanded
+    #   wavefront instead of a sequential sample loop. On TPU, bulk
+    #   gathers/sorts cost nearly the same from 1M to 4M elements
+    #   (PERF_NOTES.md), so batching samples divides the number of traversal
+    #   sweeps per frame by spp almost for free.
+    fused_shadows: bool = False  # trace NEE shadow rays together with the
+    #   NEXT bounce's radiance rays in one combined traversal (deferring the
+    #   visibility resolve by one sweep) — halves traversal sweeps per bounce;
+    #   radiometrically identical (same RNG streams, same estimator).
 
 
 class CameraParams(NamedTuple):
@@ -154,15 +163,11 @@ def _any_hit(cs, cfg, o, d, t_min, t_max):
     return any_hit(cs.bvh, cs.scene, o, d, t_min, t_max)
 
 
-def _nee(cs, probe, cfg, p, n, wo, mat, albedo, eta_i, eta_o, active, state):
-    """Probe next-event estimation with balance-heuristic MIS
-    (SampleLights semantics, deviceProgram.cu:252-292). Returns
-    (state, unshadowed_contrib_if_visible, shadowed_contrib_if_occluded)
-    — the latter feeds the shadow-catcher path (SampleShadow :294-334)."""
+def _nee_sample(cs, probe, cfg, p, n, wo, mat, albedo, eta_i, eta_o, state):
+    """Draw the probe NEE sample and its MIS-weighted contribution WITHOUT
+    tracing visibility (SampleLights math, deviceProgram.cu:252-292).
+    Returns (state, wi, contrib, valid)."""
     state, wi, sky_color, sky_pdf = probe_sample(probe, state)
-
-    t_max = jnp.where(active, cfg.t_max, 0.0)
-    occluded = _any_hit(cs, cfg, p, wi, cfg.shadow_t_min, t_max)
 
     b_pdf = disney.bsdf_pdf(mat, eta_i, eta_o, n, wo, wi)
     f = disney.bsdf_eval(mat, albedo, eta_i, eta_o, n, wo, wi)
@@ -175,7 +180,19 @@ def _nee(cs, probe, cfg, p, n, wo, mat, albedo, eta_i, eta_o, active, state):
     valid = (b_pdf > 0.0) & (weight > 0.0) & (sky_pdf > 0.0)
     scale = weight * jnp.abs(dot(wi, n)) / jnp.maximum(sky_pdf, 1e-12) / cfg.probe_samples
     contrib = sky_color * f * scale
-    zero = Vec3.zeros(jnp.shape(b_pdf))
+    return state, wi, contrib, valid
+
+
+def _nee(cs, probe, cfg, p, n, wo, mat, albedo, eta_i, eta_o, active, state):
+    """NEE with immediate visibility trace. Returns (state,
+    unshadowed_contrib_if_visible, shadowed_contrib_if_occluded) — the latter
+    feeds the shadow-catcher path (SampleShadow :294-334)."""
+    state, wi, contrib, valid = _nee_sample(
+        cs, probe, cfg, p, n, wo, mat, albedo, eta_i, eta_o, state
+    )
+    t_max = jnp.where(active, cfg.t_max, 0.0)
+    occluded = _any_hit(cs, cfg, p, wi, cfg.shadow_t_min, t_max)
+    zero = Vec3.zeros(jnp.shape(valid))
     lit = where(valid & ~occluded, contrib, zero)
     shadowed = where(valid & occluded, contrib, zero)
     return state, lit, shadowed
@@ -198,6 +215,22 @@ def trace_wavefront(
     (N,)) culls lanes up-front — the foveation annulus test (sv4
     deviceProgram.cu:421-425): culled lanes trace nothing and output zeros.
     """
+    n_pix = pixel_x.shape[0]
+    spp = cfg.samples_per_launch
+    # batched-spp mode: expand the wavefront to pixels x samples so the whole
+    # launch is ONE set of traversal sweeps (bulk ops are ~size-free, see cfg)
+    batch = cfg.batch_spp and spp > 1
+    if batch:
+        pixel_x = jnp.tile(pixel_x, spp)
+        pixel_y = jnp.tile(pixel_y, spp)
+        if active_mask is not None:
+            active_mask = jnp.tile(active_mask, spp)
+        s_lanes = jnp.repeat(jnp.arange(spp, dtype=jnp.uint32), n_pix)
+        loop_spp = 1
+    else:
+        s_lanes = None
+        loop_spp = spp
+
     n = pixel_x.shape[0]
     w = jnp.float32(cfg.width)
     h = jnp.float32(cfg.height)
@@ -212,8 +245,9 @@ def trace_wavefront(
     def sample_body(s, carry):
         acc_color, acc_alpha, acc_normal, acc_albedo, acc_backplate, acc_rays = carry
         # per (pixel, subframe, sample) stream
+        s_eff = s_lanes if s_lanes is not None else s
         state = RngState.seed(
-            tea(pix_index, subframe.astype(jnp.uint32) * cfg.samples_per_launch + s)
+            tea(pix_index, subframe.astype(jnp.uint32) * cfg.samples_per_launch + s_eff)
         )
 
         if cfg.antialias:
@@ -247,11 +281,55 @@ def trace_wavefront(
             state=state,
             rays=zero_scalar,
         )
+        if cfg.fused_shadows:
+            path.update(
+                sh_o=o,
+                sh_d=d,
+                pend_contrib=zero,
+                pend_valid=zf > 1.0,
+                pend_catcher=zf > 1.0,
+            )
 
         def bounce_body(depth, path):
-            active = ~path["done"]
+            # past max_depth the loop only flushes the last pending shadow
+            active = ~path["done"] & (depth <= cfg.max_depth)
             t_max = jnp.where(active, cfg.t_max, 0.0)
-            rec = _closest_hit(cs, cfg, path["o"], path["d"], cfg.t_min, t_max)
+            if cfg.fused_shadows:
+                # ONE combined traversal: this bounce's radiance rays plus the
+                # previous bounce's NEE shadow rays (origin = previous hit =
+                # this ray's origin, since the path continues from there)
+                sh_tmax = jnp.where(path["pend_valid"], cfg.t_max, 0.0)
+                o2 = Vec3(
+                    jnp.concatenate([path["o"].x, path["sh_o"].x]),
+                    jnp.concatenate([path["o"].y, path["sh_o"].y]),
+                    jnp.concatenate([path["o"].z, path["sh_o"].z]),
+                )
+                d2 = Vec3(
+                    jnp.concatenate([path["d"].x, path["sh_d"].x]),
+                    jnp.concatenate([path["d"].y, path["sh_d"].y]),
+                    jnp.concatenate([path["d"].z, path["sh_d"].z]),
+                )
+                t_min2 = jnp.concatenate(
+                    [jnp.full((n,), cfg.t_min), jnp.full((n,), cfg.shadow_t_min)]
+                )
+                t_max2 = jnp.concatenate([t_max, sh_tmax])
+                rec2 = _closest_hit(cs, cfg, o2, d2, t_min2, t_max2)
+                rec = jax.tree.map(lambda a: a[:n], rec2)
+                occluded = rec2.tri[n:] >= 0
+                # resolve the deferred NEE visibility (SampleLights add)
+                radiance0 = path["radiance"] + where(
+                    path["pend_valid"] & ~path["pend_catcher"] & ~occluded,
+                    path["pend_contrib"],
+                    zero,
+                )
+                alpha0 = path["alpha"] + where(
+                    path["pend_valid"] & path["pend_catcher"] & occluded,
+                    path["pend_contrib"],
+                    zero,
+                )
+                path = dict(path, radiance=radiance0, alpha=alpha0)
+            else:
+                rec = _closest_hit(cs, cfg, path["o"], path["d"], cfg.t_min, t_max)
             hit = rec.hit & active
 
             n_hit, mat, albedo = _hit_geometry(cs, rec, path["d"], cfg.use_shading_normals)
@@ -271,15 +349,37 @@ def trace_wavefront(
             # ---- NEE ----
             eta_o = jnp.where(path["eta"] == 1.0, mat.index_of_refraction(), 1.0)
             wo = -path["d"]
-            state, lit, shadowed = _nee(
-                cs, probe, cfg, p_hit, n_hit, wo, mat, albedo,
-                path["eta"], eta_o, shaded, path["state"],
-            )
             plain = shaded & ~is_catcher
             catcher_primary = shaded & is_catcher
-            radiance = path["radiance"] + where(plain, path["throughput"] * lit, zero)
-            alpha = where(plain, Vec3.ones((n,)), path["alpha"])
-            alpha = alpha + where(catcher_primary, path["throughput"] * shadowed, zero)
+            if cfg.fused_shadows:
+                # sample NEE now; its shadow ray rides the NEXT traversal
+                state, wi, contrib, nee_valid = _nee_sample(
+                    cs, probe, cfg, p_hit, n_hit, wo, mat, albedo,
+                    path["eta"], eta_o, path["state"],
+                )
+                # trace the shadow ray for every shaded hit (the reference
+                # traces before checking pdfs, deviceProgram.cu:264-277);
+                # zero out the contribution where the sample is invalid
+                pend = dict(
+                    sh_o=p_hit,
+                    sh_d=wi,
+                    pend_contrib=where(
+                        nee_valid, path["throughput"] * contrib, zero
+                    ),
+                    pend_valid=shaded,
+                    pend_catcher=catcher_primary,
+                )
+                radiance = path["radiance"]
+                alpha = where(plain, Vec3.ones((n,)), path["alpha"])
+            else:
+                state, lit, shadowed = _nee(
+                    cs, probe, cfg, p_hit, n_hit, wo, mat, albedo,
+                    path["eta"], eta_o, shaded, path["state"],
+                )
+                pend = {}
+                radiance = path["radiance"] + where(plain, path["throughput"] * lit, zero)
+                alpha = where(plain, Vec3.ones((n,)), path["alpha"])
+                alpha = alpha + where(catcher_primary, path["throughput"] * shadowed, zero)
 
             # emission on primary (non-secondary) hits (:558-560)
             radiance = radiance + where(
@@ -310,10 +410,13 @@ def trace_wavefront(
             done = path["done"] | (active & ~rec.hit) | bsdf_dead
             secondary = path["secondary"] | cont
 
-            rays = path["rays"] + jnp.sum(active.astype(jnp.float32)) + jnp.sum(
-                shaded.astype(jnp.float32)
+            shadow_count = (
+                path["pend_valid"] if cfg.fused_shadows else shaded
             )
-            return dict(
+            rays = path["rays"] + jnp.sum(active.astype(jnp.float32)) + jnp.sum(
+                shadow_count.astype(jnp.float32)
+            )
+            out = dict(
                 o=new_o,
                 d=new_d,
                 throughput=throughput,
@@ -327,8 +430,12 @@ def trace_wavefront(
                 state=state,
                 rays=rays,
             )
+            out.update(pend)
+            return out
 
-        path = jax.lax.fori_loop(0, cfg.max_depth + 1, bounce_body, path)
+        # fused mode needs one extra iteration to flush the last shadow rays
+        n_bounce_iters = cfg.max_depth + (2 if cfg.fused_shadows else 1)
+        path = jax.lax.fori_loop(0, n_bounce_iters, bounce_body, path)
 
         return (
             acc_color + path["radiance"],
@@ -341,16 +448,31 @@ def trace_wavefront(
 
     init = (zero, zero, zero, zero, zero, zero_scalar)
     color, alpha, normal, albedo, backplate, rays = jax.lax.fori_loop(
-        0, cfg.samples_per_launch, sample_body, init
+        0, loop_spp, sample_body, init
     )
 
-    spp = jnp.float32(cfg.samples_per_launch)
-    alpha = alpha / spp
-    normal = normal / spp
-    albedo = albedo / spp
+    if batch:
+        # fold the expanded lanes back to per-pixel sums
+        def fold(v: Vec3, reduce="sum") -> Vec3:
+            def f(a):
+                r = a.reshape(spp, n_pix)
+                return r.sum(0) if reduce == "sum" else r.mean(0)
+
+            return Vec3(f(v.x), f(v.y), f(v.z))
+
+        color = fold(color)
+        alpha = fold(alpha)
+        normal = fold(normal)
+        albedo = fold(albedo)
+        backplate = fold(backplate, reduce="mean")
+
+    sppf = jnp.float32(spp)
+    alpha = alpha / sppf
+    normal = normal / sppf
+    albedo = albedo / sppf
     # composite over backplate (deviceProgram.cu:454): spp-summed radiance
     # plus backplate weighted by uncovered fraction
-    color = backplate * spp * (1.0 - alpha) + color
+    color = backplate * sppf * (1.0 - alpha) + color
     return SampleOutput(
         color=color, alpha=alpha, normal=normal, albedo=albedo, rays_traced=rays
     )

@@ -59,9 +59,15 @@ def load_hdr(path: str) -> np.ndarray:
     rgbe = np.zeros((h, w, 4), np.uint8)
     idx = 0
     for y in range(h):
-        # new-style RLE scanline: 0x02 0x02 hi lo
-        if w >= 8 and w < 32768 and raw[idx] == 2 and raw[idx + 1] == 2:
-            assert (int(raw[idx + 2]) << 8 | int(raw[idx + 3])) == w
+        # new-style RLE scanline: 0x02 0x02 hi lo (hi/lo must encode the
+        # width — a flat pixel can also start with 0x02 0x02)
+        if (
+            w >= 8
+            and w < 32768
+            and raw[idx] == 2
+            and raw[idx + 1] == 2
+            and (int(raw[idx + 2]) << 8 | int(raw[idx + 3])) == w
+        ):
             idx += 4
             for c in range(4):
                 x = 0

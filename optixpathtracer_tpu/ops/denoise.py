@@ -20,8 +20,8 @@ import jax.numpy as jnp
 
 Array = jax.Array
 
-# 5-tap B3-spline, separable
-_B3 = jnp.asarray([1.0 / 16, 1.0 / 4, 3.0 / 8, 1.0 / 4, 1.0 / 16])
+# 5-tap B3-spline, separable (python floats: static weights under jit)
+_B3 = (1.0 / 16, 1.0 / 4, 3.0 / 8, 1.0 / 4, 1.0 / 16)
 
 
 def _shift2d(x: Array, dy: int, dx: int) -> Array:

@@ -107,11 +107,30 @@ def _traverse_bfs(
         iz = 1.0 / jnp.where(jnp.abs(dzl) > 1e-20, dzl, 1e-20)
 
         # ---- internal nodes: ONE gather, W slab tests ----
-        nrows = wb.table[jnp.clip(refs, 0, nb - 1)]  # (C, 7W)
-        child_refs = jax.lax.bitcast_convert_type(
-            nrows[:, 6 * w :], jnp.int32
-        )  # (C, W)
-        bb = nrows[:, : 6 * w].reshape(-1, w, 6)
+        if wb.compressed:
+            nrows = wb.table[jnp.clip(refs, 0, nb - 1)]  # (C, 4W)
+            child_refs = jax.lax.bitcast_convert_type(
+                nrows[:, 3 * w :], jnp.int32
+            )  # (C, W)
+            # unpack bf16 pairs: slot bits = (hi<<16 | lo), both bf16 payloads
+            bits = jax.lax.bitcast_convert_type(
+                nrows[:, : 3 * w].reshape(-1, w, 3), jnp.uint32
+            )
+            hi = jax.lax.bitcast_convert_type(
+                bits & jnp.uint32(0xFFFF0000), jnp.float32
+            )  # (C, W, 3): minx, minz, maxy
+            lo = jax.lax.bitcast_convert_type(bits << jnp.uint32(16), jnp.float32)
+            # slots: [minx|miny], [minz|maxx], [maxy|maxz]
+            bb = jnp.stack(
+                [hi[..., 0], lo[..., 0], hi[..., 1], lo[..., 1], hi[..., 2], lo[..., 2]],
+                axis=-1,
+            )  # (C, W, 6) = [minx, miny, minz, maxx, maxy, maxz]
+        else:
+            nrows = wb.table[jnp.clip(refs, 0, nb - 1)]  # (C, 7W)
+            child_refs = jax.lax.bitcast_convert_type(
+                nrows[:, 6 * w :], jnp.int32
+            )  # (C, W)
+            bb = nrows[:, : 6 * w].reshape(-1, w, 6)
         t0x = (bb[:, :, 0] - ox[:, None]) * ix[:, None]
         t1x = (bb[:, :, 3] - ox[:, None]) * ix[:, None]
         t0y = (bb[:, :, 1] - oy[:, None]) * iy[:, None]
