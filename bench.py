@@ -110,7 +110,7 @@ def main():
 
     hs = build_city_scene(n_boxes=n_boxes)
     t0 = time.perf_counter()
-    cs = compile_scene(hs, leaf_size=8, wide_width=8, compressed_nodes=True)
+    cs = compile_scene(hs, leaf_size=8, wide_width=8)
     build_s = time.perf_counter() - t0
 
     # sky probe with a sun
@@ -120,10 +120,14 @@ def main():
 
     # dispatch in 1/8-frame chunks: stays under the TPU tunnel's per-dispatch
     # RPC deadline and bounds the BFS worklist memory
+    # measured-best round-1 config on the tunneled v5e: plain BFS, sample
+    # loop, uncompressed nodes. batch_spp / fused_shadows / compressed_nodes
+    # each measured SLOWER end-to-end here (level costs scale ~linearly with
+    # worklist size in-program, so merging work buys nothing) — see
+    # PERF_NOTES.md "round-1 knob results".
     cfg = RenderConfig(
         width=width, height=height, samples_per_launch=spp, max_depth=4,
         traversal="bfs", bfs_cap_factor=4, dispatch_tiles=1 if small else 8,
-        batch_spp=True,
     )
     cam = Camera(
         eye=(55.0, 18.0, 55.0), lookat=(0.0, 2.0, 0.0), up=(0, 1, 0), fov_y=45,

@@ -45,7 +45,14 @@ from ..core.math import (
     where,
 )
 from ..core.rng import RngState, randf, tea
-from ..lights.probe import Probe, dir_to_uv, probe_eval, probe_sample
+from ..lights.probe import (
+    Probe,
+    dir_to_uv,
+    probe_eval,
+    probe_eval_dir,
+    probe_pdf,
+    probe_sample,
+)
 from ..ops.traverse import any_hit, closest_hit
 from ..ops.traverse_bfs import any_hit_bfs, closest_hit_bfs
 from ..shade import disney
@@ -85,6 +92,15 @@ class RenderConfig:
     #   NEXT bounce's radiance rays in one combined traversal (deferring the
     #   visibility resolve by one sweep) — halves traversal sweeps per bounce;
     #   radiometrically identical (same RNG streams, same estimator).
+    env_via_bsdf: bool = False  # add the environment on BSDF-sampled misses
+    #   with the matching MIS weight — the OTHER half of the MIS estimator,
+    #   which the reference left commented out in __miss__radiance
+    #   (deviceProgram.cu:214-224); its renders are darker for it (they
+    #   compensate with an exposure hack). Off by default for parity.
+    emission_all_bounces: bool = False  # reference adds emission only on
+    #   primary hits (deviceProgram.cu:558-560), so closed emissive-lit
+    #   scenes (cornell box) render black there; enable for brute-force
+    #   emitter lighting through BSDF paths.
 
 
 class CameraParams(NamedTuple):
@@ -280,6 +296,7 @@ def trace_wavefront(
             secondary=zf > 1.0,
             state=state,
             rays=zero_scalar,
+            bsdf_pdf=zf + 1.0,  # RadiancePRD.bsdfPdf init (deviceProgram.cu:381)
         )
         if cfg.fused_shadows:
             path.update(
@@ -381,10 +398,32 @@ def trace_wavefront(
                 alpha = where(plain, Vec3.ones((n,)), path["alpha"])
                 alpha = alpha + where(catcher_primary, path["throughput"] * shadowed, zero)
 
-            # emission on primary (non-secondary) hits (:558-560)
-            radiance = radiance + where(
-                plain & ~path["secondary"], mat.emission, zero
-            )
+            # emission on primary (non-secondary) hits (:558-560); with
+            # emission_all_bounces, emitters light the scene through BSDF paths
+            if cfg.emission_all_bounces:
+                radiance = radiance + where(
+                    plain, path["throughput"] * mat.emission, zero
+                )
+            else:
+                radiance = radiance + where(
+                    plain & ~path["secondary"], mat.emission, zero
+                )
+
+            # env on BSDF-sampled misses with MIS (the reference's
+            # commented-out __miss__radiance block, deviceProgram.cu:214-224)
+            if cfg.env_via_bsdf:
+                miss_sec = active & ~rec.hit & path["secondary"]
+                sky_pdf = probe_pdf(probe, path["d"])
+                nt = cfg.probe_samples + cfg.bsdf_samples
+                cb = cfg.bsdf_samples / nt
+                csk = cfg.probe_samples / nt
+                mw = cb * path["bsdf_pdf"] / jnp.maximum(
+                    cb * path["bsdf_pdf"] + csk * sky_pdf, 1e-12
+                )
+                env = probe_eval_dir(probe, path["d"])
+                radiance = radiance + where(
+                    miss_sec, path["throughput"] * env * mw, zero
+                )
 
             # ---- BSDF continuation ----
             tb, bb = basis_from_vector(n_hit)
@@ -429,6 +468,7 @@ def trace_wavefront(
                 secondary=secondary,
                 state=state,
                 rays=rays,
+                bsdf_pdf=jnp.where(cont, res.pdf, path["bsdf_pdf"]),
             )
             out.update(pend)
             return out
