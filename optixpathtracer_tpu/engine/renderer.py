@@ -39,9 +39,12 @@ def _render_step(
     pixel_y: jax.Array,
     accum: Vec3,
     subframe: jax.Array,
+    area_light=None,
 ):
     """One progressive launch over a pixel chunk (the optixLaunch unit)."""
-    out = trace_wavefront(cs, probe, cfg, cam, pixel_x, pixel_y, subframe)
+    out = trace_wavefront(
+        cs, probe, cfg, cam, pixel_x, pixel_y, subframe, area_light=area_light
+    )
     new_accum = accumulate(
         accum, out.color, subframe, cfg.samples_per_launch, cfg.clamp_radiance
     )
@@ -60,11 +63,13 @@ class Renderer:
         probe: Probe,
         config: RenderConfig | None = None,
         camera: Camera | None = None,
+        area_light=None,
     ):
         self.cs = compiled_scene
         self.probe = probe
         self.config = config or RenderConfig()
         self.camera = camera or Camera()
+        self.area_light = area_light
         self.subframe_index = 0
         self._frame_times: list[float] = []
         self.resize(self.config.width, self.config.height)
@@ -107,7 +112,7 @@ class Renderer:
         if tiles == 1:
             self.accum, frame, self._last = _render_step(
                 self.cs, self.probe, self.config, cam,
-                self._px, self._py, self.accum, sub,
+                self._px, self._py, self.accum, sub, self.area_light,
             )
         else:
             accum_parts, frame_parts, outs = [], [], []
@@ -117,7 +122,7 @@ class Renderer:
                 a_chunk = jax.tree.map(lambda v: v[s:e], self.accum)
                 na, fr, out = _render_step(
                     self.cs, self.probe, self.config, cam,
-                    self._px[s:e], self._py[s:e], a_chunk, sub,
+                    self._px[s:e], self._py[s:e], a_chunk, sub, self.area_light,
                 )
                 accum_parts.append(na)
                 frame_parts.append(fr)
@@ -169,6 +174,23 @@ class Renderer:
             "albedo": self._to_image(self._last.albedo),
             "alpha": self._to_image(self._last.alpha),
         }
+
+    def denoised_image(self, **kwargs) -> np.ndarray:
+        """AOV-guided À-Trous denoise of the current accumulation
+        (the OptixDenoiser exec() role, done for real)."""
+        import jax.numpy as jnp
+
+        from ..ops.denoise import atrous_denoise
+
+        aov = self.aovs()
+        return np.asarray(
+            atrous_denoise(
+                jnp.asarray(self.accum_image()),
+                jnp.asarray(aov["normal"]),
+                jnp.asarray(aov["albedo"]),
+                **kwargs,
+            )
+        )
 
     # -- observability -----------------------------------------------------
     def stats(self) -> dict:

@@ -214,6 +214,49 @@ def _nee(cs, probe, cfg, p, n, wo, mat, albedo, eta_i, eta_o, active, state):
     return state, lit, shadowed
 
 
+def _quad_nee(cs, cfg, light, p, n, wo, mat, albedo, eta_i, eta_o, active, state):
+    """Area-light next-event estimation against the single parallelogram
+    light (the reference carries one in LaunchParams but never samples it;
+    here it's a real NEE strategy with balance-heuristic MIS against the
+    BSDF). Returns (state, contrib, pdf-aware contribution)."""
+    from ..lights.lights import sample_parallelogram
+
+    state, q, ln, _area = sample_parallelogram(light.corner, light.v1, light.v2, state)
+    nsh = jnp.shape(p.x)
+    q = q.broadcast_to(nsh)
+    ln = ln.broadcast_to(nsh)
+    to_q = q - p
+    dist2 = jnp.maximum(dot(to_q, to_q), 1e-12)
+    dist = jnp.sqrt(dist2)
+    wi = to_q / dist
+    cos_l = -dot(wi, ln)  # light faces along -normal toward the shading point
+    cos_l = jnp.abs(cos_l)  # two-sided emitter
+    pdf_sa = dist2 / jnp.maximum(light.area * cos_l, 1e-9)
+
+    b_pdf = disney.bsdf_pdf(mat, eta_i, eta_o, n, wo, wi)
+    f = disney.bsdf_eval(mat, albedo, eta_i, eta_o, n, wo, wi)
+    weight = pdf_sa / jnp.maximum(pdf_sa + b_pdf, 1e-12)  # balance heuristic
+    valid = (b_pdf > 0.0) & (cos_l > 1e-6) & active
+
+    t_max = jnp.where(valid, dist - 1e-3, 0.0)
+    occluded = _any_hit(cs, cfg, p, wi, cfg.shadow_t_min, t_max)
+
+    e = light.emission.broadcast_to(nsh)
+    contrib = e * f * (weight * jnp.abs(dot(wi, n)) / pdf_sa)
+    zero = Vec3.zeros(nsh)
+    return state, where(valid & ~occluded, contrib, zero), pdf_sa
+
+
+def quad_light_pdf(light, p: Vec3, d: Vec3, t_hit: Array) -> Array:
+    """Solid-angle pdf of having NEE-sampled the point hit by (p, d, t)."""
+    hit_p = p + d * t_hit
+    nsh = jnp.shape(p.x)
+    ln = light.normal.broadcast_to(nsh)
+    cos_l = jnp.abs(dot(d, ln))
+    dist2 = t_hit * t_hit
+    return dist2 / jnp.maximum(light.area * cos_l, 1e-9)
+
+
 def trace_wavefront(
     cs: CompiledScene,
     probe: Probe,
@@ -223,6 +266,7 @@ def trace_wavefront(
     pixel_y: Array,
     subframe: Array,
     active_mask: Array | None = None,
+    area_light=None,
 ) -> SampleOutput:
     """Render cfg.samples_per_launch paths for each pixel in the wavefront.
 
@@ -401,12 +445,38 @@ def trace_wavefront(
             # emission on primary (non-secondary) hits (:558-560); with
             # emission_all_bounces, emitters light the scene through BSDF paths
             if cfg.emission_all_bounces:
-                radiance = radiance + where(
-                    plain, path["throughput"] * mat.emission, zero
-                )
+                if area_light is not None:
+                    # MIS against the quad-NEE strategy: emissive hits on
+                    # secondary rays are down-weighted by the probability the
+                    # NEE would have sampled the same point
+                    q_pdf = quad_light_pdf(area_light, path["o"], path["d"], rec.t)
+                    w_emit = jnp.where(
+                        path["secondary"],
+                        path["bsdf_pdf"]
+                        / jnp.maximum(path["bsdf_pdf"] + q_pdf, 1e-12),
+                        1.0,
+                    )
+                    radiance = radiance + where(
+                        plain, path["throughput"] * mat.emission * w_emit, zero
+                    )
+                else:
+                    radiance = radiance + where(
+                        plain, path["throughput"] * mat.emission, zero
+                    )
             else:
                 radiance = radiance + where(
                     plain & ~path["secondary"], mat.emission, zero
+                )
+
+            # parallelogram-light NEE (new capability; LaunchParams.light is
+            # never sampled by the reference)
+            if area_light is not None:
+                state, quad_contrib, _ = _quad_nee(
+                    cs, cfg, area_light, p_hit, n_hit, wo, mat, albedo,
+                    path["eta"], eta_o, plain & (mat.emission.x + mat.emission.y + mat.emission.z == 0.0), state,
+                )
+                radiance = radiance + where(
+                    plain, path["throughput"] * quad_contrib, zero
                 )
 
             # env on BSDF-sampled misses with MIS (the reference's

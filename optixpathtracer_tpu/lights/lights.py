@@ -72,6 +72,36 @@ def build_lights(lights: list[dict]) -> LightTable:
     )
 
 
+class QuadLight(NamedTuple):
+    """Single parallelogram area light (LaunchParams.h ParallelogramLight,
+    :32-38 — vestigial in the reference, first-class here). All Vec3 fields
+    are scalars (one light)."""
+
+    corner: Vec3
+    v1: Vec3
+    v2: Vec3
+    emission: Vec3
+    normal: Vec3
+    area: Array
+
+    @staticmethod
+    def make(corner, v1, v2, emission) -> "QuadLight":
+        import numpy as np
+
+        c = np.asarray(corner, np.float32)
+        a = np.asarray(v1, np.float32)
+        b = np.asarray(v2, np.float32)
+        e = np.asarray(emission, np.float32)
+        n = np.cross(a, b)
+        area = float(np.linalg.norm(n))
+        n = n / max(area, 1e-20)
+
+        def v(x):
+            return Vec3(jnp.float32(x[0]), jnp.float32(x[1]), jnp.float32(x[2]))
+
+        return QuadLight(v(c), v(a), v(b), v(e), v(n), jnp.float32(area))
+
+
 def sample_parallelogram(
     light_corner: Vec3, light_v1: Vec3, light_v2: Vec3, state: RngState
 ) -> tuple[RngState, Vec3, Vec3, Array]:
