@@ -143,10 +143,12 @@ def main():
     # timed progressive frames
     frames = 2 if small else 4
     rays = 0.0
+    overflow = 0.0
     t0 = time.perf_counter()
     for _ in range(frames):
         r.render()
         rays += float(r._last.rays_traced)
+        overflow += float(r._last.bfs_overflow)
     dt = time.perf_counter() - t0
 
     mrays = rays / dt / 1e6
@@ -165,6 +167,7 @@ def main():
                     "fps": round(fps, 4),
                     "spp_per_launch": spp,
                     "rays_total": rays,
+                    "bfs_overflow": overflow,
                     "bvh_build_s": round(build_s, 2),
                     "first_frame_incl_compile_s": round(compile_s, 2),
                     "triangles": cs.num_triangles,

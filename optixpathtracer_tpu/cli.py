@@ -57,6 +57,12 @@ def cmd_render(args: argparse.Namespace) -> int:
     from . import models
 
     cfg = config_from_args(args)
+    if getattr(args, "traversal", None) is None:
+        # pick the platform-appropriate traversal backend automatically
+        from .utils.platform import on_tpu
+
+        if on_tpu():
+            cfg.traversal = "bfs"
     camera = Camera(
         eye=cfg.camera.eye, lookat=cfg.camera.lookat, up=cfg.camera.up,
         fov_y=cfg.camera.fov_y, aspect_ratio=cfg.width / cfg.height,
@@ -122,9 +128,10 @@ def cmd_render(args: argparse.Namespace) -> int:
         return 0
 
     # disney_pt (default)
+    tiles = max(1, (cfg.width * cfg.height) // 131072) if cfg.traversal == "bfs" else 1
     r = models.make_disney_pt_renderer(
         cs, probe, camera, cfg.width, cfg.height, cfg.spp, cfg.max_depth,
-        traversal=cfg.traversal,
+        traversal=cfg.traversal, dispatch_tiles=tiles,
     )
     if cfg.checkpoint:
         import os

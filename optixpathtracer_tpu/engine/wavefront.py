@@ -133,6 +133,8 @@ class SampleOutput(NamedTuple):
     normal: Vec3  # first-bounce AOV mean
     albedo: Vec3  # first-bounce AOV mean
     rays_traced: Array  # scalar: exact radiance+shadow ray count (bench metric)
+    bfs_overflow: Array  # scalar: BFS worklist candidates dropped (0 == exact
+    #   traversal; nonzero means nearest-first truncation occurred)
 
 
 def _hit_geometry(cs: CompiledScene, rec, ray_dir: Vec3, use_shading: bool):
@@ -164,19 +166,39 @@ def _hit_geometry(cs: CompiledScene, rec, ray_dir: Vec3, use_shading: bool):
     return n, mat, albedo
 
 
-def _closest_hit(cs, cfg, o, d, t_min, t_max):
+def _closest_hit2(cs, cfg, o, d, t_min, t_max):
+    """Returns (HitRecord, overflow scalar)."""
     if cfg.traversal == "bfs":
-        return closest_hit_bfs(
+        res = closest_hit_bfs(
             cs.wide, o, d, t_min, t_max, cap_factor=cfg.bfs_cap_factor
-        ).record
-    return closest_hit(cs.bvh, cs.scene, o, d, t_min, t_max)
+        )
+        return res.record, res.overflow
+    if cfg.traversal == "dense":
+        from ..ops.dense import closest_hit_dense
+
+        return closest_hit_dense(cs.wide, o, d, t_min, t_max), jnp.zeros((), jnp.float32)
+    rec = closest_hit(cs.bvh, cs.scene, o, d, t_min, t_max)
+    return rec, jnp.zeros((), jnp.float32)
+
+
+def _any_hit2(cs, cfg, o, d, t_min, t_max):
+    """Returns (occluded bool, overflow scalar)."""
+    if cfg.traversal == "bfs":
+        occ, ovf = any_hit_bfs(cs.wide, o, d, t_min, t_max, cap_factor=cfg.bfs_cap_factor)
+        return occ, ovf
+    if cfg.traversal == "dense":
+        from ..ops.dense import any_hit_dense
+
+        return any_hit_dense(cs.wide, o, d, t_min, t_max), jnp.zeros((), jnp.float32)
+    return any_hit(cs.bvh, cs.scene, o, d, t_min, t_max), jnp.zeros((), jnp.float32)
+
+
+def _closest_hit(cs, cfg, o, d, t_min, t_max):
+    return _closest_hit2(cs, cfg, o, d, t_min, t_max)[0]
 
 
 def _any_hit(cs, cfg, o, d, t_min, t_max):
-    if cfg.traversal == "bfs":
-        occ, _ = any_hit_bfs(cs.wide, o, d, t_min, t_max, cap_factor=cfg.bfs_cap_factor)
-        return occ
-    return any_hit(cs.bvh, cs.scene, o, d, t_min, t_max)
+    return _any_hit2(cs, cfg, o, d, t_min, t_max)[0]
 
 
 def _nee_sample(cs, probe, cfg, p, n, wo, mat, albedo, eta_i, eta_o, state):
@@ -207,11 +229,11 @@ def _nee(cs, probe, cfg, p, n, wo, mat, albedo, eta_i, eta_o, active, state):
         cs, probe, cfg, p, n, wo, mat, albedo, eta_i, eta_o, state
     )
     t_max = jnp.where(active, cfg.t_max, 0.0)
-    occluded = _any_hit(cs, cfg, p, wi, cfg.shadow_t_min, t_max)
+    occluded, ovf = _any_hit2(cs, cfg, p, wi, cfg.shadow_t_min, t_max)
     zero = Vec3.zeros(jnp.shape(valid))
     lit = where(valid & ~occluded, contrib, zero)
     shadowed = where(valid & occluded, contrib, zero)
-    return state, lit, shadowed
+    return state, lit, shadowed, ovf
 
 
 def _quad_nee(cs, cfg, light, p, n, wo, mat, albedo, eta_i, eta_o, active, state):
@@ -239,12 +261,12 @@ def _quad_nee(cs, cfg, light, p, n, wo, mat, albedo, eta_i, eta_o, active, state
     valid = (b_pdf > 0.0) & (cos_l > 1e-6) & active
 
     t_max = jnp.where(valid, dist - 1e-3, 0.0)
-    occluded = _any_hit(cs, cfg, p, wi, cfg.shadow_t_min, t_max)
+    occluded, ovf = _any_hit2(cs, cfg, p, wi, cfg.shadow_t_min, t_max)
 
     e = light.emission.broadcast_to(nsh)
     contrib = e * f * (weight * jnp.abs(dot(wi, n)) / pdf_sa)
     zero = Vec3.zeros(nsh)
-    return state, where(valid & ~occluded, contrib, zero), pdf_sa
+    return state, where(valid & ~occluded, contrib, zero), ovf
 
 
 def quad_light_pdf(light, p: Vec3, d: Vec3, t_hit: Array) -> Array:
@@ -303,7 +325,8 @@ def trace_wavefront(
     zero = Vec3(zf, zf, zf)
 
     def sample_body(s, carry):
-        acc_color, acc_alpha, acc_normal, acc_albedo, acc_backplate, acc_rays = carry
+        (acc_color, acc_alpha, acc_normal, acc_albedo, acc_backplate,
+         acc_rays, acc_ovf) = carry
         # per (pixel, subframe, sample) stream
         s_eff = s_lanes if s_lanes is not None else s
         state = RngState.seed(
@@ -340,6 +363,7 @@ def trace_wavefront(
             secondary=zf > 1.0,
             state=state,
             rays=zero_scalar,
+            ovf=zero_scalar,
             bsdf_pdf=zf + 1.0,  # RadiancePRD.bsdfPdf init (deviceProgram.cu:381)
         )
         if cfg.fused_shadows:
@@ -374,7 +398,7 @@ def trace_wavefront(
                     [jnp.full((n,), cfg.t_min), jnp.full((n,), cfg.shadow_t_min)]
                 )
                 t_max2 = jnp.concatenate([t_max, sh_tmax])
-                rec2 = _closest_hit(cs, cfg, o2, d2, t_min2, t_max2)
+                rec2, trav_ovf = _closest_hit2(cs, cfg, o2, d2, t_min2, t_max2)
                 rec = jax.tree.map(lambda a: a[:n], rec2)
                 occluded = rec2.tri[n:] >= 0
                 # resolve the deferred NEE visibility (SampleLights add)
@@ -390,8 +414,11 @@ def trace_wavefront(
                 )
                 path = dict(path, radiance=radiance0, alpha=alpha0)
             else:
-                rec = _closest_hit(cs, cfg, path["o"], path["d"], cfg.t_min, t_max)
+                rec, trav_ovf = _closest_hit2(
+                    cs, cfg, path["o"], path["d"], cfg.t_min, t_max
+                )
             hit = rec.hit & active
+            ovf = path["ovf"] + trav_ovf
 
             n_hit, mat, albedo = _hit_geometry(cs, rec, path["d"], cfg.use_shading_normals)
             p_hit = path["o"] + path["d"] * rec.t
@@ -433,10 +460,11 @@ def trace_wavefront(
                 radiance = path["radiance"]
                 alpha = where(plain, Vec3.ones((n,)), path["alpha"])
             else:
-                state, lit, shadowed = _nee(
+                state, lit, shadowed, nee_ovf = _nee(
                     cs, probe, cfg, p_hit, n_hit, wo, mat, albedo,
                     path["eta"], eta_o, shaded, path["state"],
                 )
+                ovf = ovf + nee_ovf
                 pend = {}
                 radiance = path["radiance"] + where(plain, path["throughput"] * lit, zero)
                 alpha = where(plain, Vec3.ones((n,)), path["alpha"])
@@ -471,10 +499,11 @@ def trace_wavefront(
             # parallelogram-light NEE (new capability; LaunchParams.light is
             # never sampled by the reference)
             if area_light is not None:
-                state, quad_contrib, _ = _quad_nee(
+                state, quad_contrib, quad_ovf = _quad_nee(
                     cs, cfg, area_light, p_hit, n_hit, wo, mat, albedo,
                     path["eta"], eta_o, plain & (mat.emission.x + mat.emission.y + mat.emission.z == 0.0), state,
                 )
+                ovf = ovf + quad_ovf
                 radiance = radiance + where(
                     plain, path["throughput"] * quad_contrib, zero
                 )
@@ -538,6 +567,7 @@ def trace_wavefront(
                 secondary=secondary,
                 state=state,
                 rays=rays,
+                ovf=ovf,
                 bsdf_pdf=jnp.where(cont, res.pdf, path["bsdf_pdf"]),
             )
             out.update(pend)
@@ -554,10 +584,11 @@ def trace_wavefront(
             acc_albedo + path["albedo"],
             backplate,  # last sample's backplate, as in the reference
             acc_rays + path["rays"],
+            acc_ovf + path["ovf"],
         )
 
-    init = (zero, zero, zero, zero, zero, zero_scalar)
-    color, alpha, normal, albedo, backplate, rays = jax.lax.fori_loop(
+    init = (zero, zero, zero, zero, zero, zero_scalar, zero_scalar)
+    color, alpha, normal, albedo, backplate, rays, ovf_total = jax.lax.fori_loop(
         0, loop_spp, sample_body, init
     )
 
@@ -584,7 +615,8 @@ def trace_wavefront(
     # plus backplate weighted by uncovered fraction
     color = backplate * sppf * (1.0 - alpha) + color
     return SampleOutput(
-        color=color, alpha=alpha, normal=normal, albedo=albedo, rays_traced=rays
+        color=color, alpha=alpha, normal=normal, albedo=albedo,
+        rays_traced=rays, bfs_overflow=ovf_total,
     )
 
 

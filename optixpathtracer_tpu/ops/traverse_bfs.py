@@ -207,16 +207,24 @@ def _traverse_bfs(
             best_u = best_u.at[win_idx].set(u_pair, mode="drop")
             best_v = best_v.at[win_idx].set(v_pair, mode="drop")
 
-        # ---- compaction: (C*W) candidates -> C slots, near-first ----
+        # ---- compaction: (C*W) candidates -> C slots ----
+        # primary key: the candidate's NEAR-RANK WITHIN ITS OWN PAIR, so that
+        # under overflow every pair keeps its nearest children before any
+        # pair keeps its second-nearest — global t ordering alone starves
+        # rays whose geometry is farther (e.g. image corners in an enclosed
+        # scene render with a circular hole). Secondary key: t_near.
+        near_masked = jnp.where(cand_ok, near, jnp.inf)
+        rank = jnp.argsort(jnp.argsort(near_masked, axis=1), axis=1).astype(jnp.int32)
         cand_refs = jnp.where(cand_ok, child_refs, EMPTY).reshape(-1)
         cand_rays = jnp.broadcast_to(ray_ids[:, None], (cap, w)).reshape(-1)
-        cand_near = jnp.where(cand_ok, near, jnp.inf).reshape(-1)
+        cand_near = near_masked.reshape(-1)
+        cand_rank = jnp.where(cand_ok, rank, jnp.int32(w)).reshape(-1)
         srt = jax.lax.sort(
-            [cand_near, cand_refs, cand_rays], num_keys=1
+            [cand_rank, cand_near, cand_refs, cand_rays], num_keys=2
         )
-        refs = srt[1][:cap]
-        ray_ids = srt[2][:cap]
-        n_valid = jnp.sum((srt[1] != EMPTY).astype(jnp.float32))
+        refs = srt[2][:cap]
+        ray_ids = srt[3][:cap]
+        n_valid = jnp.sum((srt[2] != EMPTY).astype(jnp.float32))
         overflow = overflow + jnp.maximum(n_valid - cap, 0.0)
 
     if any_hit:
