@@ -1,0 +1,51 @@
+import argparse
+
+from optixpathtracer_tpu.engine.wavefront import RenderConfig
+from optixpathtracer_tpu.utils.config import (
+    RunConfig,
+    add_config_args,
+    config_from_args,
+)
+from optixpathtracer_tpu.utils.platform import auto_tune
+
+
+def test_runconfig_json_roundtrip():
+    import dataclasses
+
+    from optixpathtracer_tpu.engine.foveated import FoveationConfig
+
+    cfg = RunConfig(model="foveated", scene="x.obj", spp=7, width=320, height=200,
+                    foveation=FoveationConfig(inner_radius=42))
+    cfg.camera.eye = (1.0, 2.0, 3.0)
+    back = RunConfig.from_json(cfg.to_json())
+    assert back.model == "foveated"
+    assert back.spp == 7
+    assert tuple(back.camera.eye) == (1.0, 2.0, 3.0)
+    assert back.foveation.inner_radius == 42
+
+
+def test_cli_overrides_config(tmp_path):
+    p = tmp_path / "c.json"
+    p.write_text(RunConfig(model="whitted", spp=3).to_json())
+    parser = argparse.ArgumentParser()
+    add_config_args(parser)
+    args = parser.parse_args(["--config", str(p), "--spp", "9", "--width", "64"])
+    cfg = config_from_args(args)
+    assert cfg.model == "whitted"  # from file
+    assert cfg.spp == 9  # overridden
+    assert cfg.width == 64
+
+
+def test_render_config_factory():
+    rc = RunConfig(width=100, height=50, spp=2, max_depth=3, traversal="bfs")
+    cfg = rc.render_config()
+    assert isinstance(cfg, RenderConfig)
+    assert (cfg.width, cfg.height, cfg.samples_per_launch, cfg.max_depth) == (100, 50, 2, 3)
+    assert cfg.traversal == "bfs"
+
+
+def test_auto_tune_cpu_picks_lockstep():
+    # tests run with jax on CPU
+    cfg = auto_tune(RenderConfig(width=64, height=48, traversal="bfs"))
+    assert cfg.traversal == "lockstep"
+    assert cfg.dispatch_tiles == 1
