@@ -18,7 +18,9 @@ def on_tpu() -> bool:
     return jax.default_backend() not in ("cpu", "METAL")
 
 
-DENSE_TRI_THRESHOLD = 8192
+# measured crossover on v5e (PERF_NOTES.md): dense 2x faster at ~10k tris,
+# parity at ~36k, bfs 4x faster at 150k
+DENSE_TRI_THRESHOLD = 32768
 
 
 def auto_tune(cfg: RenderConfig, num_triangles: int | None = None) -> RenderConfig:
