@@ -101,6 +101,9 @@ class RenderConfig:
     #   primary hits (deviceProgram.cu:558-560), so closed emissive-lit
     #   scenes (cornell box) render black there; enable for brute-force
     #   emitter lighting through BSDF paths.
+    unroll: bool = False  # unroll the (statically-bounded) spp and bounce
+    #   loops into straight-line XLA instead of fori_loops — larger programs
+    #   and compiles, but removes loop-carry traffic.
 
 
 class CameraParams(NamedTuple):
@@ -575,7 +578,11 @@ def trace_wavefront(
 
         # fused mode needs one extra iteration to flush the last shadow rays
         n_bounce_iters = cfg.max_depth + (2 if cfg.fused_shadows else 1)
-        path = jax.lax.fori_loop(0, n_bounce_iters, bounce_body, path)
+        if cfg.unroll:
+            for _depth in range(n_bounce_iters):
+                path = bounce_body(jnp.int32(_depth), path)
+        else:
+            path = jax.lax.fori_loop(0, n_bounce_iters, bounce_body, path)
 
         return (
             acc_color + path["radiance"],
@@ -588,9 +595,15 @@ def trace_wavefront(
         )
 
     init = (zero, zero, zero, zero, zero, zero_scalar, zero_scalar)
-    color, alpha, normal, albedo, backplate, rays, ovf_total = jax.lax.fori_loop(
-        0, loop_spp, sample_body, init
-    )
+    if cfg.unroll:
+        carry = init
+        for _s in range(loop_spp):
+            carry = sample_body(jnp.uint32(_s), carry)
+        color, alpha, normal, albedo, backplate, rays, ovf_total = carry
+    else:
+        color, alpha, normal, albedo, backplate, rays, ovf_total = jax.lax.fori_loop(
+            0, loop_spp, sample_body, init
+        )
 
     if batch:
         # fold the expanded lanes back to per-pixel sums
