@@ -368,6 +368,10 @@ def trace_wavefront(
             rays=zero_scalar,
             ovf=zero_scalar,
             bsdf_pdf=zf + 1.0,  # RadiancePRD.bsdfPdf init (deviceProgram.cu:381)
+            # True after a delta (SPECULAR) event: bsdf_pdf is then a discrete
+            # probability, not a solid-angle density, so MIS weights that mix
+            # it with area pdfs are meaningless and must be forced to 1
+            prev_delta=zf > 1.0,
         )
         if cfg.fused_shadows:
             path.update(
@@ -479,10 +483,26 @@ def trace_wavefront(
                 if area_light is not None:
                     # MIS against the quad-NEE strategy: emissive hits on
                     # secondary rays are down-weighted by the probability the
-                    # NEE would have sampled the same point
+                    # NEE would have sampled the same point. Only hits that
+                    # geometrically lie ON the quad compete with quad-NEE —
+                    # other emitters keep full weight; and after a delta
+                    # (SPECULAR) bounce bsdf_pdf is a discrete probability,
+                    # so the weight is forced to 1 (ADVICE r1).
                     q_pdf = quad_light_pdf(area_light, path["o"], path["d"], rec.t)
+                    lc = area_light.corner.broadcast_to((n,))
+                    l1 = area_light.v1.broadcast_to((n,))
+                    l2 = area_light.v2.broadcast_to((n,))
+                    ln = area_light.normal.broadcast_to((n,))
+                    rel = p_hit - lc
+                    s1 = dot(rel, l1) / jnp.maximum(dot(l1, l1), 1e-12)
+                    s2 = dot(rel, l2) / jnp.maximum(dot(l2, l2), 1e-12)
+                    on_quad = (
+                        (jnp.abs(dot(rel, ln)) <= 1e-3 * jnp.sqrt(area_light.area))
+                        & (s1 >= -1e-4) & (s1 <= 1.0 + 1e-4)
+                        & (s2 >= -1e-4) & (s2 <= 1.0 + 1e-4)
+                    )
                     w_emit = jnp.where(
-                        path["secondary"],
+                        path["secondary"] & on_quad & ~path["prev_delta"],
                         path["bsdf_pdf"]
                         / jnp.maximum(path["bsdf_pdf"] + q_pdf, 1e-12),
                         1.0,
@@ -572,6 +592,9 @@ def trace_wavefront(
                 rays=rays,
                 ovf=ovf,
                 bsdf_pdf=jnp.where(cont, res.pdf, path["bsdf_pdf"]),
+                prev_delta=jnp.where(
+                    cont, res.event == disney.SPECULAR, path["prev_delta"]
+                ),
             )
             out.update(pend)
             return out

@@ -152,6 +152,20 @@ def _load_obj_native(path: str) -> HostScene | None:
         any_n = (uniq[:, 2] >= 0).any() and len(nrm)
         uv_out = uv[np.maximum(uniq[:, 1], 0)] * (uniq[:, 1] >= 0)[:, None] if any_uv else None
         n_out = nrm[np.maximum(uniq[:, 2], 0)] * (uniq[:, 2] >= 0)[:, None] if any_n else None
+        # geometric-normal fallback for corners without a vn (mirrors the
+        # Python parser; avoids zero shading normals on mixed meshes)
+        if n_out is not None:
+            missing = uniq[:, 2] < 0
+            if missing.any():
+                gn = np.cross(
+                    verts[faces[:, 1]] - verts[faces[:, 0]],
+                    verts[faces[:, 2]] - verts[faces[:, 0]],
+                )
+                gn /= np.maximum(np.linalg.norm(gn, axis=1, keepdims=True), 1e-20)
+                for corner in range(3):
+                    idxs = faces[:, corner]
+                    fill = missing[idxs]
+                    n_out[idxs[fill]] = gn[fill]
 
         m = mtl.get(mat_name, {"kd": (0.6, 0.6, 0.6), "ke": (0.0, 0.0, 0.0), "map_kd": ""})
         tex_id = -1
@@ -271,6 +285,27 @@ def _load_obj_python(path: str) -> HostScene:
                         t_out.append(np.zeros(2, np.float32))
                 face.append(remap[trip])
             f_out.append(face)
+
+        # mixed normal presence: corners without a vn would otherwise stay
+        # zero vectors while the mesh advertises shading normals, and
+        # normalize(0) breaks shading — fall back to the face's geometric
+        # normal for those corners (ADVICE r1)
+        if any_normal:
+            varr = np.asarray(v_out, np.float32)
+            narr = np.asarray(n_out, np.float32)
+            farr = np.asarray(f_out, np.int32)
+            missing = np.abs(narr).sum(axis=1) == 0.0
+            if missing.any():
+                gn = np.cross(
+                    varr[farr[:, 1]] - varr[farr[:, 0]],
+                    varr[farr[:, 2]] - varr[farr[:, 0]],
+                )
+                gn /= np.maximum(np.linalg.norm(gn, axis=1, keepdims=True), 1e-20)
+                for corner in range(3):
+                    idxs = farr[:, corner]
+                    fill = missing[idxs]
+                    narr[idxs[fill]] = gn[fill]
+                n_out = narr
 
         m = mtl.get(mat_name, {"kd": (0.6, 0.6, 0.6), "ke": (0.0, 0.0, 0.0), "map_kd": ""})
         tex_id = -1

@@ -1,0 +1,152 @@
+"""Cluster traversal backend: exactness vs brute force and the dense oracle.
+
+The cluster backend (ops/traverse_cluster.py) must be EXACT — its cull is
+conservative and its per-triangle test is plain f32 Moller-Trumbore — so
+every test here is equality of hit ids (not tolerance-based image compare).
+The Pallas kernel runs in interpreter mode on CPU.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from optixpathtracer_tpu.bvh.clusters import build_clusters
+from optixpathtracer_tpu.core.math import Vec3
+from optixpathtracer_tpu.ops.intersect import BIG_T
+from optixpathtracer_tpu.ops.traverse_cluster import (
+    any_hit_cluster,
+    block_cull,
+    closest_hit_cluster,
+    reference_closest,
+)
+
+
+def _random_tris(rng, t, extent=2.0, size=0.3):
+    ctr = rng.uniform(-extent, extent, (t, 3)).astype(np.float32)
+    v0 = ctr + rng.normal(0, size, (t, 3)).astype(np.float32)
+    v1 = ctr + rng.normal(0, size, (t, 3)).astype(np.float32)
+    v2 = ctr + rng.normal(0, size, (t, 3)).astype(np.float32)
+    order = np.argsort(ctr[:, 0], kind="stable")  # cheap spatial sort
+    return v0[order], v1[order], v2[order]
+
+
+def _random_rays(rng, n, extent=4.0):
+    o = rng.uniform(-extent, extent, (n, 3)).astype(np.float32)
+    d = rng.normal(0, 1, (n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return (
+        Vec3(*(jnp.asarray(o[:, i]) for i in range(3))),
+        Vec3(*(jnp.asarray(d[:, i]) for i in range(3))),
+        o,
+        d,
+    )
+
+
+def _brute(v0, v1, v2, o, d, t_min, t_max):
+    n = len(o)
+    e1 = (v1 - v0).astype(np.float64)
+    e2 = (v2 - v0).astype(np.float64)
+    best_t = np.asarray(np.broadcast_to(t_max, (n,)), np.float64).copy()
+    best_tri = np.full(n, -1)
+    for j in range(len(v0)):
+        p = np.cross(d.astype(np.float64), e2[j])
+        det = p @ e1[j]
+        ok = np.abs(det) > 0
+        inv = np.where(ok, 1.0 / np.where(ok, det, 1.0), 0.0)
+        tv = o.astype(np.float64) - v0[j]
+        u = (tv * p).sum(1) * inv
+        q = np.cross(tv, e1[j])
+        vv = (d.astype(np.float64) * q).sum(1) * inv
+        t = (q @ e2[j]) * inv
+        hit = ok & (u >= 0) & (vv >= 0) & (u + vv <= 1) & (t > t_min) & (t < best_t)
+        best_t = np.where(hit, t, best_t)
+        best_tri = np.where(hit, j, best_tri)
+    return best_t, best_tri
+
+
+@pytest.mark.parametrize("cluster_size", [64, 128])
+def test_oracle_matches_brute_force(rng, cluster_size):
+    v0, v1, v2 = _random_tris(rng, 257)
+    cs = build_clusters(v0, v1, v2, 257, cluster_size=cluster_size)
+    ov, dv, o, d = _random_rays(rng, 400)
+    ref = reference_closest(cs, ov, dv, 1e-3, 1e16)
+    bt, btri = _brute(v0, v1, v2, o, d, 1e-3, 1e16)
+    assert (np.asarray(ref.tri) == btri).all()
+    hits = btri >= 0
+    assert np.abs(np.asarray(ref.t)[hits] - bt[hits]).max() < 1e-4
+
+
+def test_pallas_matches_oracle(rng):
+    v0, v1, v2 = _random_tris(rng, 300)
+    cs = build_clusters(v0, v1, v2, 300, cluster_size=64)
+    ov, dv, _, _ = _random_rays(rng, 500)
+    ref = reference_closest(cs, ov, dv, 1e-3, 1e16)
+    rec = closest_hit_cluster(cs, ov, dv, 1e-3, 1e16, block=128, interpret=True)
+    assert (np.asarray(rec.tri) == np.asarray(ref.tri)).all()
+    assert np.abs(np.asarray(rec.t) - np.asarray(ref.t)).max() == 0.0
+    assert np.abs(np.asarray(rec.u) - np.asarray(ref.u)).max() == 0.0
+    assert np.abs(np.asarray(rec.v) - np.asarray(ref.v)).max() == 0.0
+
+
+def test_per_ray_t_intervals_and_dead_rays(rng):
+    v0, v1, v2 = _random_tris(rng, 200)
+    cs = build_clusters(v0, v1, v2, 200, cluster_size=64)
+    ov, dv, o, d = _random_rays(rng, 300)
+    # a third of the rays dead (t_max == 0), varied finite t_max elsewhere
+    t_max = np.where(rng.random(300) < 0.33, 0.0, rng.uniform(1, 8, 300)).astype(
+        np.float32
+    )
+    rec = closest_hit_cluster(
+        cs, ov, dv, 1e-3, jnp.asarray(t_max), block=128, interpret=True
+    )
+    bt, btri = _brute(v0, v1, v2, o, d, 1e-3, t_max)
+    assert (np.asarray(rec.tri) == btri).all()
+    dead = t_max == 0.0
+    assert (np.asarray(rec.tri)[dead] == -1).all()
+    assert (np.asarray(rec.t)[dead] == BIG_T).all()
+
+
+def test_non_multiple_block_sizes(rng):
+    """N not a multiple of the ray block: padding must not change results."""
+    v0, v1, v2 = _random_tris(rng, 100)
+    cs = build_clusters(v0, v1, v2, 100, cluster_size=64)
+    ov, dv, o, d = _random_rays(rng, 177)
+    rec = closest_hit_cluster(cs, ov, dv, 1e-3, 1e16, block=128, interpret=True)
+    bt, btri = _brute(v0, v1, v2, o, d, 1e-3, 1e16)
+    assert rec.tri.shape == (177,)
+    assert (np.asarray(rec.tri) == btri).all()
+
+
+def test_any_hit_matches_closest(rng):
+    v0, v1, v2 = _random_tris(rng, 150)
+    cs = build_clusters(v0, v1, v2, 150, cluster_size=64)
+    ov, dv, o, d = _random_rays(rng, 256)
+    occ, ovf = any_hit_cluster(cs, ov, dv, 1e-2, 10.0, interpret=True)
+    bt, btri = _brute(v0, v1, v2, o, d, 1e-2, 10.0)
+    assert (np.asarray(occ) == (btri >= 0)).all()
+    assert float(ovf) == 0.0
+
+
+def test_cull_is_conservative(rng):
+    """Every triangle hit found by brute force must come from a cluster the
+    cull kept for that ray's block (cull must never drop a needed cluster)."""
+    v0, v1, v2 = _random_tris(rng, 320)
+    cs = build_clusters(v0, v1, v2, 320, cluster_size=64)
+    ov, dv, o, d = _random_rays(rng, 384)
+    bt, btri = _brute(v0, v1, v2, o, d, 1e-3, 1e16)
+    cull = block_cull(cs, ov, dv, jnp.float32(1e-3), jnp.float32(1e16), 128)
+    ids = np.asarray(cull.ids)
+    count = np.asarray(cull.count)[:, 0]
+    kept = [set(ids[b, : count[b]].tolist()) for b in range(ids.shape[0])]
+    for i in np.nonzero(btri >= 0)[0]:
+        cluster = btri[i] // cs.cluster_size
+        assert cluster in kept[i // 128], (i, btri[i])
+
+
+def test_single_cluster_and_tiny_scene(rng):
+    v0, v1, v2 = _random_tris(rng, 5)
+    cs = build_clusters(v0, v1, v2, 5, cluster_size=64)
+    assert cs.num_clusters == 1
+    ov, dv, o, d = _random_rays(rng, 64)
+    rec = closest_hit_cluster(cs, ov, dv, 1e-3, 1e16, block=128, interpret=True)
+    bt, btri = _brute(v0, v1, v2, o, d, 1e-3, 1e16)
+    assert (np.asarray(rec.tri) == btri).all()
