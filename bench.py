@@ -90,6 +90,8 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
@@ -118,21 +120,40 @@ def main():
     sky[8:12, 30:34] = (60.0, 55.0, 45.0)
     probe = build_probe(sky)
 
-    # dispatch in 1/8-frame chunks: stays under the TPU tunnel's per-dispatch
-    # RPC deadline and bounds the BFS worklist memory
-    # measured-best round-1 config on the tunneled v5e: plain BFS, sample
-    # loop, uncompressed nodes. batch_spp / fused_shadows / compressed_nodes
-    # each measured SLOWER end-to-end here (level costs scale ~linearly with
-    # worklist size in-program, so merging work buys nothing) — see
-    # PERF_NOTES.md "round-1 knob results".
+    # cluster backend (exact, gather-free Pallas sweep — see
+    # ops/traverse_cluster.py); dispatch chunks stay under the TPU tunnel's
+    # per-dispatch RPC deadline
+    on_cpu = jax.default_backend() == "cpu"
     cfg = RenderConfig(
         width=width, height=height, samples_per_launch=spp, max_depth=4,
-        traversal="bfs", bfs_cap_factor=4, dispatch_tiles=1 if small else 8,
+        traversal="lockstep" if on_cpu else "cluster",
+        dispatch_tiles=1 if small else 4,
     )
     cam = Camera(
         eye=(55.0, 18.0, 55.0), lookat=(0.0, 2.0, 0.0), up=(0, 1, 0), fov_y=45,
         aspect_ratio=width / height,
     )
+
+    # ---- quality gate 1: traversal exactness at bench scale -------------
+    # the headline number is only admissible if the fast backend agrees with
+    # the dense no-cull oracle on this very scene (round-1 lesson: a Mrays/s
+    # figure from a truncating traversal is not a legitimate perf point)
+    gate_rmse = 0.0
+    if not on_cpu:
+        gcfg = dataclasses.replace(
+            cfg, width=192, height=128, samples_per_launch=1, max_depth=2,
+            dispatch_tiles=1,
+        )
+        fast = Renderer(cs, probe, gcfg, cam)
+        fast.render()
+        exact = Renderer(
+            cs, probe, dataclasses.replace(gcfg, traversal="oracle"), cam
+        )
+        exact.render()
+        a = fast.accum_image()
+        b = exact.accum_image()
+        gate_rmse = float(np.sqrt(np.mean((a - b) ** 2)))
+
     r = Renderer(cs, probe, cfg, cam)
 
     # warmup / compile
@@ -153,11 +174,14 @@ def main():
 
     mrays = rays / dt / 1e6
     fps = frames / dt
+
+    # ---- quality gates: refuse a headline number from wrong images ------
+    gated_out = (overflow != 0.0) or (gate_rmse > 1e-3)
     result = {
         "metric": "Mrays/s incoherent (Disney PT, depth 4, 150k-tri city, 1200x800)",
-        "value": round(mrays, 3),
+        "value": 0.0 if gated_out else round(mrays, 3),
         "unit": "Mrays/s",
-        "vs_baseline": round(mrays / 100.0, 4),
+        "vs_baseline": 0.0 if gated_out else round(mrays / 100.0, 4),
     }
     print(json.dumps(result))
     print(
@@ -167,7 +191,10 @@ def main():
                     "fps": round(fps, 4),
                     "spp_per_launch": spp,
                     "rays_total": rays,
-                    "bfs_overflow": overflow,
+                    "traversal": cfg.traversal,
+                    "overflow": overflow,
+                    "gate_rmse_vs_exact": round(gate_rmse, 8),
+                    "quality_gated_out": gated_out,
                     "bvh_build_s": round(build_s, 2),
                     "first_frame_incl_compile_s": round(compile_s, 2),
                     "triangles": cs.num_triangles,

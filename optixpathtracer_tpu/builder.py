@@ -1,9 +1,18 @@
-"""Scene compilation: host meshes -> (device SceneData, BVH).
+"""Scene compilation: host meshes -> (device SceneData, acceleration structures).
 
 The single entry point that replaces the reference's buildAccel + buildSBT
 sequence (SimplePathtracer.cpp:457-601, :390-455): flatten meshes, build the
-LBVH (device-side), and upload the triangle soup in BVH-sorted order so leaf
-ranges are contiguous.
+acceleration structures host-side in vectorized numpy, and upload the
+triangle soup in Morton/BVH-sorted order so leaf and cluster ranges are
+contiguous slices.
+
+Three structures serve the three traversal backends (ops/):
+  bvh      — binary LBVH for the lockstep backend (CPU-fast, exact)
+  wide     — W-wide collapsed BVH for the BFS worklist backend
+  clusters — Morton-run triangle clusters for the Pallas cluster backend
+             (the TPU default; exact, gather-free)
+All three index the same sorted triangle order, so HitRecord.tri is
+interchangeable across backends.
 """
 from __future__ import annotations
 
@@ -11,6 +20,7 @@ from typing import NamedTuple, Optional
 
 import numpy as np
 
+from .bvh.clusters import ClusterSet, build_clusters
 from .bvh.lbvh import BVH, build_bvh
 from .bvh.wide import WideBVH, build_wide
 from .core.scene import HostScene, SceneData, device_scene_from_sorted
@@ -21,6 +31,7 @@ class CompiledScene(NamedTuple):
     bvh: BVH
     num_triangles: int  # real (unpadded) triangle count
     wide: Optional[WideBVH] = None  # BFS-backend acceleration structure
+    clusters: Optional[ClusterSet] = None  # cluster-backend structure
 
 
 def compile_scene(
@@ -29,17 +40,20 @@ def compile_scene(
     wide_width: int = 8,
     build_wide_bvh: bool = True,
     compressed_nodes: bool = False,
+    build_cluster_set: bool = True,
+    cluster_size: int = 128,
 ) -> CompiledScene:
     flat = host.flatten()
     v0, v1, v2 = flat["v"]
     res = build_bvh(v0, v1, v2, leaf_size=leaf_size)
     scene = device_scene_from_sorted(flat, res.order, res.padded_count)
 
+    sv0 = np.asarray(v0)[res.order]
+    sv1 = np.asarray(v1)[res.order]
+    sv2 = np.asarray(v2)[res.order]
+
     wide = None
     if build_wide_bvh:
-        sv0 = np.asarray(v0)[res.order]
-        sv1 = np.asarray(v1)[res.order]
-        sv2 = np.asarray(v2)[res.order]
         wide = build_wide(
             np.asarray(res.bvh.child_left),
             np.asarray(res.bvh.child_right),
@@ -54,4 +68,20 @@ def compile_scene(
             width=wide_width,
             compressed=compressed_nodes,
         )
-    return CompiledScene(scene=scene, bvh=res.bvh, num_triangles=len(v0), wide=wide)
+
+    clusters = None
+    if build_cluster_set:
+        # scene arrays are padded to res.padded_count by repeating the last
+        # sorted triangle, so every cluster tri id < padded_count maps into
+        # the device scene arrays; cluster-level padding beyond that is
+        # degenerate (never hit, never returned)
+        clusters = build_clusters(
+            sv0, sv1, sv2, num_real=res.padded_count, cluster_size=cluster_size
+        )
+    return CompiledScene(
+        scene=scene,
+        bvh=res.bvh,
+        num_triangles=len(v0),
+        wide=wide,
+        clusters=clusters,
+    )

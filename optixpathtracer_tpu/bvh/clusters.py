@@ -3,27 +3,29 @@ backend (ops/traverse_cluster.py).
 
 Replaces the role of the reference's hardware BVH (optixAccelBuild,
 HelloPathtracing_original/SimplePathtracer.cpp:457-601) with a structure
-designed for the TPU's strengths instead of pointer-chasing:
+designed for the TPU's strengths instead of pointer-chasing. Two fixed
+granularities over the Morton-sorted triangle order:
 
-* Triangles (already Morton/BVH-sorted, so spatially coherent) are chopped
-  into fixed-size clusters of C consecutive triangles.
-* Each cluster stores its triangles pre-differenced as (9, C) float32 rows
-  [v0 | e1 | e2] (e1 = v1-v0, e2 = v2-v0, computed in float64 then rounded),
-  laid out so a Pallas kernel can broadcast (B,1) ray components against
-  (1,C) triangle rows and evaluate Moller-Trumbore for all B x C pairs as
-  pure (B,C)-shaped VPU vector ops — full float32 exactness, no gathers.
-* A per-cluster bounding sphere (center, radius) and AABB support the cheap
-  conservative per-ray cull that decides which clusters a ray block visits.
+* CLUSTER (C consecutive triangles): the compute granule. Triangles are
+  stored pre-differenced as (9, C) float32 rows [v0 | e1 | e2] so a Pallas
+  kernel can broadcast (B,1) ray components against (1,C) triangle rows and
+  evaluate Moller-Trumbore for all B x C pairs as pure (B,C) VPU vector ops
+  — full float32 exactness, no gathers. Each cluster carries a bounding
+  sphere used by the kernel's per-ray re-test against the EVOLVING best-t
+  (the dominant pruning mechanism).
+* SUPERCLUSTER (SUPER consecutive clusters): the DMA + scheduling granule.
+  One DMA moves a whole super's (9, SUPER*C) rows; the per-frame cull and
+  near-to-far sort operate on supers, shrinking the per-sweep sort by SUPER x.
 
-Exactness: a cluster either is visited (every triangle tested exactly) or is
-provably unreachable by every ray in the block, so the backend has NO
-truncation/overflow failure mode (unlike traverse_bfs).
+Exactness: a (super)cluster either is visited (every triangle tested
+exactly) or is provably unreachable; there is NO truncation/overflow
+failure mode (unlike traverse_bfs).
 
-Design history: an MXU formulation (per-triangle feature matrix G with
-f_ray @ G = [det, u*det, v*det, t*det]) was built and measured first; at the
-f32-exact precision this workload needs (HIGHEST = bf16_6x passes) the
-matmul costs ~1us per 128x128 visit vs ~0.2us for the straight VPU
-evaluation, and moves 7x the bytes. See PERF_NOTES.md.
+Design history (measured on v5e, see PERF_NOTES.md): an MXU bilinear
+formulation (f_ray @ G = [det, u*det, v*det, t*det]) loses to straight VPU
+evaluation at the f32-exact precision this needs (bf16_6x matmul ~1us vs
+~0.2us per 128x128 visit); flat single-level clusters made the per-frame
+sort (~25ms at M=1172) and unskippable per-visit compute the bottleneck.
 """
 from __future__ import annotations
 
@@ -36,25 +38,59 @@ import numpy as np
 Array = jax.Array
 
 NUM_ROWS = 9  # [v0x v0y v0z e1x e1y e1z e2x e2y e2z]
+STORE_ROWS = 16  # storage rows: padded to the (8,128) sublane tiling so a
+#                  (1, STORE_ROWS, SUPER*C) DMA slice is tile-aligned
+SUPER = 8  # clusters per supercluster
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class ClusterSet:
-    """Device-resident cluster acceleration structure."""
+    """Device-resident two-level cluster acceleration structure."""
 
-    rows: Array  # (M, 9, C) float32 triangle rows [v0 | e1 | e2]
-    spheres: Array  # (M, 8) float32: [cx, cy, cz, radius, half_x, half_y, half_z, 0]
+    rows: Array  # (S, 16, SUPER*C) f32 triangle rows [v0 | e1 | e2 | pad], grouped
+    #              by supercluster; columns [cluster0 tris | cluster1 tris ...]
+    spheres: Array  # (S*SUPER, 8) f32 per-cluster [cx cy cz r hx hy hz 0]
+    super_spheres: Array  # (S, 8) f32 per-super bounding spheres
+    scene_aabb: Array  # (8,) f32 [lox loy loz hix hiy hiz 0 0]: whole-scene
+    #   box; rays' reach is capped at its exit (no hit can lie beyond), which
+    #   is what makes the sweep's early exit effective for sky rays
     cluster_size: int = dataclasses.field(metadata=dict(static=True))
 
     @property
-    def num_clusters(self) -> int:
+    def num_supers(self) -> int:
         return self.rows.shape[0]
+
+    @property
+    def num_clusters(self) -> int:
+        return self.spheres.shape[0]
 
     @property
     def num_slots(self) -> int:
         """Total triangle slots (num_clusters * cluster_size)."""
-        return self.rows.shape[0] * self.cluster_size
+        return self.num_clusters * self.cluster_size
+
+
+def _bounds(v0, v1, v2, real_mask):
+    """Per-group AABB center/half/radius over real triangles only.
+
+    v*: (G, K, 3); real_mask: (G, K). Returns (center, half, radius)."""
+    g = v0.shape[0]
+    allv = np.concatenate([v0, v1, v2], axis=1)  # (G, 3K, 3)
+    vm = np.concatenate([real_mask] * 3, axis=1)
+    big = 3.0e37
+    lo = np.where(vm[:, :, None], allv, big).min(axis=1)
+    hi = np.where(vm[:, :, None], allv, -big).max(axis=1)
+    anyreal = real_mask.any(axis=1)
+    lo = np.where(anyreal[:, None], lo, 0.0)
+    hi = np.where(anyreal[:, None], hi, 0.0)
+    center = 0.5 * (lo + hi)
+    half = 0.5 * (hi - lo)
+    radius = np.sqrt((half * half).sum(axis=1))
+    # dilate so float32 rounding of centers/radii stays conservative;
+    # empty groups get r = 0 at the origin (never tested anyway)
+    radius = np.where(anyreal, radius * (1.0 + 1e-5) + 1e-30, 0.0)
+    return center, half, radius
 
 
 def build_clusters(
@@ -77,7 +113,9 @@ def build_clusters(
     v2 = np.asarray(sorted_v2, np.float64)
     t_real = int(num_real)
     m = max(1, -(-t_real // c))
-    t_pad = m * c
+    s = -(-m // SUPER)
+    m_pad = s * SUPER
+    t_pad = m_pad * c
 
     def pad(v):
         out = np.zeros((t_pad, 3), np.float64)
@@ -91,35 +129,53 @@ def build_clusters(
         v1[t_real:] = 0.0
         v2[t_real:] = 0.0
 
-    cv0 = v0.reshape(m, c, 3)
-    cv1 = v1.reshape(m, c, 3)
-    cv2 = v2.reshape(m, c, 3)
-    allv = np.concatenate([cv0, cv1, cv2], axis=1)  # (M, 3C, 3)
-    real_mask = np.arange(t_pad).reshape(m, c) < t_real  # (M, C)
-    anyreal = real_mask.any(axis=1)
-    vm = np.concatenate([real_mask] * 3, axis=1)  # (M, 3C)
-    big = 3.0e37
-    lo = np.where(vm[:, :, None], allv, big).min(axis=1)  # (M, 3)
-    hi = np.where(vm[:, :, None], allv, -big).max(axis=1)
-    lo = np.where(anyreal[:, None], lo, 0.0)
-    hi = np.where(anyreal[:, None], hi, 0.0)
-    center = 0.5 * (lo + hi)
-    half = 0.5 * (hi - lo)
-    radius = np.sqrt((half * half).sum(axis=1))
+    cv0 = v0.reshape(m_pad, c, 3)
+    cv1 = v1.reshape(m_pad, c, 3)
+    cv2 = v2.reshape(m_pad, c, 3)
+    real_mask = np.arange(t_pad).reshape(m_pad, c) < t_real  # (M, C)
 
-    rows = np.empty((m, NUM_ROWS, c), np.float32)
+    ctr, half, rad = _bounds(cv0, cv1, cv2, real_mask)
+    spheres = np.zeros((m_pad, 8), np.float32)
+    spheres[:, 0:3] = ctr
+    spheres[:, 3] = rad
+    spheres[:, 4:7] = half * (1.0 + 1e-5)
+
+    sctr, shalf, srad = _bounds(
+        cv0.reshape(s, SUPER * c, 3),
+        cv1.reshape(s, SUPER * c, 3),
+        cv2.reshape(s, SUPER * c, 3),
+        real_mask.reshape(s, SUPER * c),
+    )
+    super_spheres = np.zeros((s, 8), np.float32)
+    super_spheres[:, 0:3] = sctr
+    super_spheres[:, 3] = srad
+    super_spheres[:, 4:7] = shalf * (1.0 + 1e-5)
+
+    real_any = real_mask.reshape(-1)
+    allpts = np.concatenate([v0[real_any], v1[real_any], v2[real_any]], axis=0)
+    if len(allpts) == 0:
+        slo = np.zeros(3)
+        shi = np.zeros(3)
+    else:
+        slo = allpts.min(axis=0)
+        shi = allpts.max(axis=0)
+    pad_abs = 1e-5 * max(1.0, float(np.abs(np.concatenate([slo, shi])).max()))
+    scene_aabb = np.zeros(8, np.float32)
+    scene_aabb[0:3] = slo - pad_abs
+    scene_aabb[3:6] = shi + pad_abs
+
+    rows = np.zeros((m_pad, STORE_ROWS, c), np.float32)
     rows[:, 0:3, :] = cv0.transpose(0, 2, 1)
     rows[:, 3:6, :] = (cv1 - cv0).transpose(0, 2, 1)
     rows[:, 6:9, :] = (cv2 - cv0).transpose(0, 2, 1)
-
-    spheres = np.zeros((m, 8), np.float32)
-    spheres[:, 0:3] = center
-    # dilate so float32 rounding of centers/radii stays conservative
-    spheres[:, 3] = radius * (1.0 + 1e-5) + 1e-30
-    spheres[:, 4:7] = half * (1.0 + 1e-5)
+    # group SUPER consecutive clusters' columns into one DMA-able row block
+    rows = rows.reshape(s, SUPER, STORE_ROWS, c).transpose(0, 2, 1, 3)
+    rows = rows.reshape(s, STORE_ROWS, SUPER * c)
 
     return ClusterSet(
         rows=jnp.asarray(rows),
         spheres=jnp.asarray(spheres),
+        super_spheres=jnp.asarray(super_spheres),
+        scene_aabb=jnp.asarray(scene_aabb),
         cluster_size=c,
     )

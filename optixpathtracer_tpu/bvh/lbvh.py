@@ -1,4 +1,4 @@
-"""On-device LBVH builder: Morton sort -> Karras binary tree -> AABB refit.
+"""LBVH builder: Morton sort -> Karras binary tree -> level-ordered refit.
 
 TPU-native replacement for the reference's hardware acceleration-structure
 build (optixAccelBuild + compaction, SimplePathtracer.cpp:457-601 and
@@ -18,13 +18,14 @@ for XLA/TPU:
 * Child AABBs are stored at the parent (left/right box pairs), so a traversal
   step is ONE node gather that tests both children.
 
-The builder is pure jnp — it runs on the TPU itself (argsort is XLA's on
-device sort), so scene updates never round-trip through the host.
+The builder is pure numpy host code: a scene build is a one-time O(T log T)
+array pipeline for which vectorized numpy is both faster and safer than
+eager jax dispatch (round 1 measured minutes of eager-dispatch overhead when
+ops leaked to the tunneled TPU backend). Only the final upload touches jax.
 """
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import NamedTuple
 
 import jax
@@ -32,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.math import Vec3
-from .morton import clz32, morton_codes
+from .morton import np_clz32, np_morton_codes
 
 Array = jax.Array
 _I32 = jnp.int32
@@ -66,122 +67,135 @@ class BVH:
         return self.num_internal + 1
 
 
-def _delta(codes: Array, i: Array, j: Array, n: int) -> Array:
-    """Common-prefix length between keys i and j; -1 when j out of range.
+TRAVERSAL_STACK_DEPTH = 64  # per-ray stack slots in ops/traverse.py
 
-    Equal Morton codes fall back to index bits (standard Karras tie-break),
-    which also guarantees bounded tree depth.
-    """
+
+def _np_delta(codes: np.ndarray, i: np.ndarray, j: np.ndarray, n: int) -> np.ndarray:
+    """Common-prefix length between sorted keys i and j; -1 when j is out of
+    range. Equal Morton codes fall back to index bits (standard Karras
+    tie-break), which also guarantees bounded tree depth."""
     valid = (j >= 0) & (j < n)
-    jc = jnp.clip(j, 0, n - 1)
-    ci = codes[i]
-    cj = codes[jc]
-    x = ci ^ cj
-    base = jnp.where(x == 0, 32 + clz32((i.astype(jnp.uint32) ^ jc.astype(jnp.uint32))), clz32(x))
-    return jnp.where(valid, base, -1).astype(_I32)
+    jc = np.clip(j, 0, n - 1)
+    x = codes[i] ^ codes[jc]
+    tie = 32 + np_clz32((i ^ jc).astype(np.uint32))
+    base = np.where(x == 0, tie, np_clz32(x))
+    return np.where(valid, base, -1).astype(np.int64)
 
 
-def _karras_tree(codes: Array) -> tuple[Array, Array]:
-    """Emit internal-node children for sorted 30-bit codes. Returns (left, right)
-    with leaves encoded as -(leaf_id+1)."""
-    n = codes.shape[0]  # num leaves
+def _np_karras_tree(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Emit internal-node children for sorted 30-bit codes (numpy,
+    vectorized over all nodes). Returns (left, right) int32 with leaves
+    encoded as -(leaf_id+1). Karras 2012, same masked fixed-trip searches as
+    a GPU emission but over numpy lanes."""
+    n = len(codes)
     if n == 1:
-        # single leaf: root points at it twice; right child gets an empty box
-        left = jnp.full((1,), -1, _I32)
-        right = jnp.full((1,), -1, _I32)
-        return left, right
+        return np.full(1, -1, np.int32), np.full(1, -1, np.int32)
 
-    i = jnp.arange(n - 1, dtype=_I32)
-    d = jnp.sign(_delta(codes, i, i + 1, n) - _delta(codes, i, i - 1, n)).astype(_I32)
-    d = jnp.where(d == 0, 1, d)
-    delta_min = _delta(codes, i, i - d, n)
+    i = np.arange(n - 1, dtype=np.int64)
+    d = np.sign(
+        _np_delta(codes, i, i + 1, n) - _np_delta(codes, i, i - 1, n)
+    ).astype(np.int64)
+    d[d == 0] = 1
+    delta_min = _np_delta(codes, i, i - d, n)
 
     # exponential upper bound for the range length
-    l_max = jnp.full_like(i, 2)
-    done = jnp.zeros_like(i, dtype=bool)
-    for _ in range(32):
-        ok = _delta(codes, i, i + l_max * d, n) > delta_min
-        grow = ok & ~done
-        done = done | ~ok
-        l_max = jnp.where(grow, l_max * 2, l_max)
+    l_max = np.full_like(i, 2)
+    done = np.zeros(n - 1, bool)
+    for _ in range(64):
+        if done.all():
+            break
+        ok = _np_delta(codes, i, i + l_max * d, n) > delta_min
+        l_max = np.where(ok & ~done, l_max * 2, l_max)
+        done |= ~ok
 
     # binary search the exact other end j = i + l*d
-    l = jnp.zeros_like(i)
-    for k in range(1, 32):
+    l = np.zeros_like(i)
+    for k in range(1, 64):
         t = l_max >> k
-        ok = (t >= 1) & (_delta(codes, i, i + (l + t) * d, n) > delta_min)
-        l = jnp.where(ok, l + t, l)
+        if not (t >= 1).any():
+            break
+        ok = (t >= 1) & (_np_delta(codes, i, i + (l + t) * d, n) > delta_min)
+        l = np.where(ok, l + t, l)
     j = i + l * d
-    delta_node = _delta(codes, i, j, n)
+    delta_node = _np_delta(codes, i, j, n)
 
     # binary search the split point
-    s = jnp.zeros_like(i)
-    prev = l
-    for k in range(32):
+    s = np.zeros_like(i)
+    prev = l.copy()
+    for k in range(64):
         t = (prev + 1) >> 1
         active = (prev > 1) | (k == 0)
-        ok = active & (_delta(codes, i, i + (s + t) * d, n) > delta_node)
-        s = jnp.where(ok, s + t, s)
+        ok = active & (_np_delta(codes, i, i + (s + t) * d, n) > delta_node)
+        s = np.where(ok, s + t, s)
+        if not (prev > 1).any():
+            break
         prev = t
 
-    gamma = i + s * d + jnp.minimum(d, 0)
-    lo = jnp.minimum(i, j)
-    hi = jnp.maximum(i, j)
-    left = jnp.where(lo == gamma, -(gamma + 1), gamma)
-    right = jnp.where(hi == gamma + 1, -(gamma + 2), gamma + 1)
-    return left.astype(_I32), right.astype(_I32)
+    gamma = i + s * d + np.minimum(d, 0)
+    lo = np.minimum(i, j)
+    hi = np.maximum(i, j)
+    left = np.where(lo == gamma, -(gamma + 1), gamma)
+    right = np.where(hi == gamma + 1, -(gamma + 2), gamma + 1)
+    return left.astype(np.int32), right.astype(np.int32)
 
 
-def _refit(
-    left: Array,
-    right: Array,
-    leaf_min: Vec3,
-    leaf_max: Vec3,
-    sweeps: int,
-) -> tuple[Vec3, Vec3, Vec3, Vec3]:
-    """Pull leaf AABBs up the tree; returns per-parent child boxes."""
-    m = left.shape[0]
-    single_leaf = leaf_min.x.shape[0] == 1
+def _np_levels(left: np.ndarray, right: np.ndarray) -> tuple[np.ndarray, int]:
+    """Per-internal-node depth from the root + total tree depth (levels),
+    via a vectorized breadth-first frontier walk."""
+    m = len(left)
+    level = np.full(m, -1, np.int32)
+    level[0] = 0
+    frontier = np.array([0], np.int64)
+    depth = 0
+    while len(frontier):
+        kids = np.concatenate([left[frontier], right[frontier]])
+        kids = kids[kids >= 0]
+        if len(kids) == 0:
+            break
+        depth += 1
+        level[kids] = depth
+        frontier = kids
+    return level, depth + 1  # +1: the leaf level below the last internal
 
-    node_min = Vec3.full((m,), jnp.inf)
-    node_max = Vec3.full((m,), -jnp.inf)
 
-    def child_box(child, nmin, nmax):
-        is_leaf = child < 0
-        leaf_id = jnp.clip(-(child + 1), 0, leaf_min.x.shape[0] - 1)
-        node_id = jnp.clip(child, 0, m - 1)
-        cmin = Vec3(
-            jnp.where(is_leaf, leaf_min.x[leaf_id], nmin.x[node_id]),
-            jnp.where(is_leaf, leaf_min.y[leaf_id], nmin.y[node_id]),
-            jnp.where(is_leaf, leaf_min.z[leaf_id], nmin.z[node_id]),
-        )
-        cmax = Vec3(
-            jnp.where(is_leaf, leaf_max.x[leaf_id], nmax.x[node_id]),
-            jnp.where(is_leaf, leaf_max.y[leaf_id], nmax.y[node_id]),
-            jnp.where(is_leaf, leaf_max.z[leaf_id], nmax.z[node_id]),
-        )
+def _np_refit(
+    left: np.ndarray,
+    right: np.ndarray,
+    leaf_min: np.ndarray,
+    leaf_max: np.ndarray,
+    level: np.ndarray,
+) -> tuple[np.ndarray, ...]:
+    """Exact bottom-up AABB refit, one vectorized pass per tree level.
+
+    Returns per-parent child boxes (lmin, lmax, rmin, rmax), each (M, 3) —
+    child boxes live at the parent so a traversal step is ONE node fetch.
+    """
+    m = len(left)
+    node_min = np.full((m, 3), np.inf, np.float32)
+    node_max = np.full((m, 3), -np.inf, np.float32)
+    single_leaf = len(leaf_min) == 1
+
+    def child_box(ch):
+        isleaf = ch < 0
+        leaf_id = np.clip(-(ch + 1), 0, len(leaf_min) - 1)
+        node_id = np.clip(ch, 0, m - 1)
+        cmin = np.where(isleaf[:, None], leaf_min[leaf_id], node_min[node_id])
+        cmax = np.where(isleaf[:, None], leaf_max[leaf_id], node_max[node_id])
         return cmin, cmax
 
-    def body(_, carry):
-        nmin, nmax = carry
-        lmin, lmax = child_box(left, nmin, nmax)
-        rmin, rmax = child_box(right, nmin, nmax)
-        new_min = Vec3(
-            jnp.minimum(lmin.x, rmin.x), jnp.minimum(lmin.y, rmin.y), jnp.minimum(lmin.z, rmin.z)
-        )
-        new_max = Vec3(
-            jnp.maximum(lmax.x, rmax.x), jnp.maximum(lmax.y, rmax.y), jnp.maximum(lmax.z, rmax.z)
-        )
-        return new_min, new_max
+    for lev in range(int(level.max()), -1, -1):
+        sel = np.nonzero(level == lev)[0]
+        lmin_s, lmax_s = child_box(left[sel])
+        rmin_s, rmax_s = child_box(right[sel])
+        node_min[sel] = np.minimum(lmin_s, rmin_s)
+        node_max[sel] = np.maximum(lmax_s, rmax_s)
 
-    node_min, node_max = jax.lax.fori_loop(0, sweeps, body, (node_min, node_max))
-
-    lmin, lmax = child_box(left, node_min, node_max)
-    rmin, rmax = child_box(right, node_min, node_max)
+    lmin, lmax = child_box(left)
+    rmin, rmax = child_box(right)
     if single_leaf:
         # degenerate tree: kill the duplicate right child with an empty box
-        rmin = Vec3.full((m,), jnp.inf)
-        rmax = Vec3.full((m,), -jnp.inf)
+        rmin = np.full((m, 3), np.inf, np.float32)
+        rmax = np.full((m, 3), -np.inf, np.float32)
     return lmin, lmax, rmin, rmax
 
 
@@ -189,6 +203,7 @@ class BuildResult(NamedTuple):
     bvh: BVH
     order: np.ndarray  # host-side permutation: sorted position -> original tri
     padded_count: int
+    depth: int = 0  # binary tree depth in levels (incl. leaf level)
 
 
 def build_bvh(
@@ -196,83 +211,63 @@ def build_bvh(
     v1: np.ndarray,
     v2: np.ndarray,
     leaf_size: int = 4,
-    sweeps: int | None = None,
-    build_device: str | None = "cpu",
+    sweeps: int | None = None,  # deprecated, ignored (refit is exact now)
+    build_device: str | None = "cpu",  # deprecated, ignored (pure numpy)
 ) -> BuildResult:
-    """Build from host (T,3) triangle vertex arrays.
+    """Build from host (T,3) triangle vertex arrays, entirely in numpy.
 
-    The builder is pure jnp so it can run on any backend. By default it is
-    pinned to the CPU backend (`build_device="cpu"`): the build is a one-time
-    eager sequence of small ops, and on the tunneled TPU each eager dispatch
-    costs ~5-10ms (memory/tpu-perf-facts) — hundreds of dispatches made scene
-    builds take minutes. Pass build_device=None to run on the default device
-    (e.g., for on-device rebuilds of dynamic geometry inside one jit).
+    Runs host-side in vectorized numpy (morton + argsort + Karras emission +
+    level-ordered refit are all array ops): ~150k triangles build in well
+    under a second, and no eager op can accidentally dispatch through a
+    remote accelerator backend (which is what made round-1 builds take
+    minutes). Only the final device upload touches jax.
     """
-    if build_device is not None:
-        try:
-            dev = jax.devices(build_device)[0]
-        except RuntimeError:
-            dev = None
-        if dev is not None:
-            with jax.default_device(dev):
-                return _build_bvh_impl(v0, v1, v2, leaf_size, sweeps)
-    return _build_bvh_impl(v0, v1, v2, leaf_size, sweeps)
-
-
-def _build_bvh_impl(
-    v0: np.ndarray,
-    v1: np.ndarray,
-    v2: np.ndarray,
-    leaf_size: int,
-    sweeps: int | None,
-) -> BuildResult:
+    del sweeps, build_device
+    v0 = np.asarray(v0, np.float32)
+    v1 = np.asarray(v1, np.float32)
+    v2 = np.asarray(v2, np.float32)
     t = v0.shape[0]
     pad_to = max(leaf_size, ((t + leaf_size - 1) // leaf_size) * leaf_size)
 
-    # centroids + morton on device
-    c = (v0 + v1 + v2) / 3.0
-    cx = jnp.asarray(c[:, 0])
-    cy = jnp.asarray(c[:, 1])
-    cz = jnp.asarray(c[:, 2])
-    codes = morton_codes(cx, cy, cz)
-    order_dev = jnp.argsort(codes)
-    order = np.asarray(order_dev)
+    c = (v0.astype(np.float64) + v1 + v2) / 3.0
+    codes = np_morton_codes(c)
+    order = np.argsort(codes, kind="stable")
     # pad by repeating the last sorted triangle: duplicate hits are harmless
     # and keep the tail leaf's bounding box tight (no fake far-away geometry)
     if pad_to > t:
         order = np.concatenate([order, np.repeat(order[-1:], pad_to - t)])
 
-    sorted_codes = jnp.asarray(np.asarray(codes)[order])
+    sorted_codes = codes[order]
     num_leaves = pad_to // leaf_size
-
-    # leaf AABBs from sorted + padded triangles
-    def leaf_reduce(a: np.ndarray, op):
-        s = a[order].reshape(num_leaves, leaf_size, 3)
-        return op(s, axis=1)
 
     tri_min = np.minimum(np.minimum(v0, v1), v2)
     tri_max = np.maximum(np.maximum(v0, v1), v2)
-    lf_min = leaf_reduce(tri_min, np.min)
-    lf_max = leaf_reduce(tri_max, np.max)
-    leaf_min = Vec3(jnp.asarray(lf_min[:, 0]), jnp.asarray(lf_min[:, 1]), jnp.asarray(lf_min[:, 2]))
-    leaf_max = Vec3(jnp.asarray(lf_max[:, 0]), jnp.asarray(lf_max[:, 1]), jnp.asarray(lf_max[:, 2]))
+    lf_min = tri_min[order].reshape(num_leaves, leaf_size, 3).min(axis=1)
+    lf_max = tri_max[order].reshape(num_leaves, leaf_size, 3).max(axis=1)
 
-    leaf_codes = sorted_codes[:: leaf_size]
-    left, right = _karras_tree(leaf_codes)
+    leaf_codes = sorted_codes[::leaf_size].copy()
+    left, right = _np_karras_tree(leaf_codes)
+    level, depth = _np_levels(left, right)
+    if depth + 1 > TRAVERSAL_STACK_DEPTH:
+        raise ValueError(
+            f"BVH depth {depth + 1} exceeds the lockstep traversal stack "
+            f"({TRAVERSAL_STACK_DEPTH}); raise leaf_size or STACK_DEPTH "
+            "(degenerate Morton distribution?)"
+        )
+    lmin, lmax, rmin, rmax = _np_refit(
+        left, right, lf_min.astype(np.float32), lf_max.astype(np.float32), level
+    )
 
-    if sweeps is None:
-        # depth bound: 30 morton bits + index tie-break bits, capped sensibly
-        sweeps = min(num_leaves, 32 + int(math.ceil(math.log2(max(num_leaves, 2)))))
-
-    lmin, lmax, rmin, rmax = _refit(left, right, leaf_min, leaf_max, sweeps)
+    def vec(a: np.ndarray) -> Vec3:
+        return Vec3(jnp.asarray(a[:, 0]), jnp.asarray(a[:, 1]), jnp.asarray(a[:, 2]))
 
     bvh = BVH(
-        child_left=left,
-        child_right=right,
-        left_min=lmin,
-        left_max=lmax,
-        right_min=rmin,
-        right_max=rmax,
+        child_left=jnp.asarray(left),
+        child_right=jnp.asarray(right),
+        left_min=vec(lmin),
+        left_max=vec(lmax),
+        right_min=vec(rmin),
+        right_max=vec(rmax),
         leaf_size=leaf_size,
     )
-    return BuildResult(bvh=bvh, order=order, padded_count=pad_to)
+    return BuildResult(bvh=bvh, order=order, padded_count=pad_to, depth=depth)

@@ -62,7 +62,7 @@ def cmd_render(args: argparse.Namespace) -> int:
         from .utils.platform import on_tpu
 
         if on_tpu():
-            cfg.traversal = "bfs"
+            cfg.traversal = "cluster"
     camera = Camera(
         eye=cfg.camera.eye, lookat=cfg.camera.lookat, up=cfg.camera.up,
         fov_y=cfg.camera.fov_y, aspect_ratio=cfg.width / cfg.height,
@@ -128,7 +128,11 @@ def cmd_render(args: argparse.Namespace) -> int:
         return 0
 
     # disney_pt (default)
-    tiles = max(1, (cfg.width * cfg.height) // 131072) if cfg.traversal == "bfs" else 1
+    tiles = (
+        max(1, (cfg.width * cfg.height) // 131072)
+        if cfg.traversal in ("bfs", "cluster", "dense")
+        else 1
+    )
     r = models.make_disney_pt_renderer(
         cs, probe, camera, cfg.width, cfg.height, cfg.spp, cfg.max_depth,
         traversal=cfg.traversal, dispatch_tiles=tiles,

@@ -75,13 +75,28 @@ class Renderer:
         self.resize(self.config.width, self.config.height)
 
     # -- state management ----------------------------------------------------
+    TILE_W, TILE_H = 16, 8  # pixel-tile shape for ray-block coherence
+
     def resize(self, width: int, height: int) -> None:
-        """Reallocate framebuffers (SimplePathtracer resize :109-126)."""
+        """Reallocate framebuffers (SimplePathtracer resize :109-126).
+
+        Pixels are ordered in TILE_W x TILE_H tiles (not scanlines): the
+        cluster traversal backend culls per 128-ray block, and a 16x8 pixel
+        tile's rays form a far tighter bundle than a 128-wide scanline strip
+        (measured ~2x fewer cluster visits). The permutation is static; all
+        image-space outputs are unpermuted on read."""
         self.config = dataclasses.replace(self.config, width=width, height=height)
         n = width * height
-        ys, xs = jnp.divmod(jnp.arange(n, dtype=jnp.int32), width)
-        self._px = xs
-        self._py = ys
+        ys, xs = np.divmod(np.arange(n, dtype=np.int32), width)
+        tw, th = self.TILE_W, self.TILE_H
+        tiles_x = -(-width // tw)
+        tile_id = (ys // th) * tiles_x + (xs // tw)
+        within = (ys % th) * tw + (xs % tw)
+        perm = np.argsort(tile_id * (tw * th) + within, kind="stable")
+        self._perm = perm
+        self._inv_perm = jnp.asarray(np.argsort(perm, kind="stable"))
+        self._px = jnp.asarray(xs[perm])
+        self._py = jnp.asarray(ys[perm])
         self.accum = Vec3.zeros((n,))
         self.subframe_index = 0
         self._last: SampleOutput | None = None
@@ -152,15 +167,18 @@ class Renderer:
     # -- outputs ---------------------------------------------------------------
     def _to_image(self, v: Vec3) -> np.ndarray:
         h, w = self.config.height, self.config.width
+        inv = np.asarray(self._inv_perm)
         img = np.stack(
-            [np.asarray(v.x), np.asarray(v.y), np.asarray(v.z)], axis=-1
+            [np.asarray(v.x)[inv], np.asarray(v.y)[inv], np.asarray(v.z)[inv]],
+            axis=-1,
         ).reshape(h, w, 3)
         return img[::-1]  # row 0 is bottom (GL convention) -> flip for images
 
     def download_pixels(self) -> np.ndarray:
         """(H, W, 4) uint8, top row first (SampleRenderer::downloadPixels)."""
         h, w = self.config.height, self.config.width
-        return np.asarray(self._frame_u8).reshape(h, w, 4)[::-1]
+        u8 = np.asarray(self._frame_u8)[np.asarray(self._inv_perm)]
+        return u8.reshape(h, w, 4)[::-1]
 
     def accum_image(self) -> np.ndarray:
         return self._to_image(self.accum)
@@ -211,10 +229,12 @@ class Renderer:
     def save_checkpoint(self, path: str) -> None:
         """Persist the full progressive state: exact resume (new vs reference,
         which loses all accumulation on exit)."""
+        inv = np.asarray(self._inv_perm)
         np.savez(
             path,
             accum=np.stack(
-                [np.asarray(self.accum.x), np.asarray(self.accum.y), np.asarray(self.accum.z)]
+                [np.asarray(self.accum.x)[inv], np.asarray(self.accum.y)[inv],
+                 np.asarray(self.accum.z)[inv]]
             ),
             subframe_index=self.subframe_index,
             width=self.config.width,
@@ -229,7 +249,7 @@ class Renderer:
         d = np.load(path if str(path).endswith(".npz") else str(path) + ".npz")
         if int(d["width"]) != self.config.width or int(d["height"]) != self.config.height:
             self.resize(int(d["width"]), int(d["height"]))
-        a = d["accum"]
+        a = d["accum"][:, self._perm]  # canonical -> tile order
         self.accum = Vec3(jnp.asarray(a[0]), jnp.asarray(a[1]), jnp.asarray(a[2]))
         self.subframe_index = int(d["subframe_index"])
         self.camera = Camera(

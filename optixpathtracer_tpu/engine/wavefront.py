@@ -55,6 +55,7 @@ from ..lights.probe import (
 )
 from ..ops.traverse import any_hit, closest_hit
 from ..ops.traverse_bfs import any_hit_bfs, closest_hit_bfs
+from ..ops.traverse_cluster import any_hit_cluster, closest_hit_cluster
 from ..shade import disney
 
 Array = jax.Array
@@ -77,8 +78,9 @@ class RenderConfig:
     use_shading_normals: bool = False  # original CH uses geometric normals
     antialias: bool = True  # sv4 USE_ANTIALIASING
     clamp_radiance: float = 10.0  # accumulation clamp (:462)
-    traversal: str = "lockstep"  # "lockstep" (exact per-ray loop, CPU-fast)
-    #                              or "bfs" (level-synchronous worklist, TPU-fast)
+    traversal: str = "lockstep"  # "lockstep" (exact per-ray loop, CPU-fast),
+    #   "cluster" (exact Pallas block-sparse sweep, the TPU default),
+    #   "bfs" (level-synchronous worklist), or "dense" (exact no-BVH)
     bfs_cap_factor: int = 4  # worklist capacity multiple for the bfs backend
     dispatch_tiles: int = 1  # split each launch into this many sequential
     #   dispatches (the TPU tunnel enforces an RPC deadline per dispatch, and
@@ -171,6 +173,15 @@ def _hit_geometry(cs: CompiledScene, rec, ray_dir: Vec3, use_shading: bool):
 
 def _closest_hit2(cs, cfg, o, d, t_min, t_max):
     """Returns (HitRecord, overflow scalar)."""
+    if cfg.traversal == "cluster":
+        rec = closest_hit_cluster(cs.clusters, o, d, t_min, t_max)
+        return rec, jnp.zeros((), jnp.float32)
+    if cfg.traversal == "oracle":
+        # dense no-cull scan over every supercluster: slow, exact, zero
+        # scheduling — the quality-gate ground truth for bench.py
+        from ..ops.traverse_cluster import reference_closest
+
+        return reference_closest(cs.clusters, o, d, t_min, t_max), jnp.zeros((), jnp.float32)
     if cfg.traversal == "bfs":
         res = closest_hit_bfs(
             cs.wide, o, d, t_min, t_max, cap_factor=cfg.bfs_cap_factor
@@ -186,6 +197,13 @@ def _closest_hit2(cs, cfg, o, d, t_min, t_max):
 
 def _any_hit2(cs, cfg, o, d, t_min, t_max):
     """Returns (occluded bool, overflow scalar)."""
+    if cfg.traversal == "cluster":
+        return any_hit_cluster(cs.clusters, o, d, t_min, t_max)
+    if cfg.traversal == "oracle":
+        from ..ops.traverse_cluster import reference_closest
+
+        rec = reference_closest(cs.clusters, o, d, t_min, t_max)
+        return rec.tri >= 0, jnp.zeros((), jnp.float32)
     if cfg.traversal == "bfs":
         occ, ovf = any_hit_bfs(cs.wide, o, d, t_min, t_max, cap_factor=cfg.bfs_cap_factor)
         return occ, ovf

@@ -26,7 +26,7 @@ from ..core.math import Vec3, dot, faceforward, normalize, reflect, refract, whe
 from ..core.rng import RngState, randf, tea
 from ..lights.lights import LIGHT_AMBIENT, LIGHT_POINT, LightTable
 from ..ops.spheres import SphereScene, closest_hit_spheres
-from ..ops.traverse import closest_hit as tri_closest_hit
+from ..ops.dispatch import trace_closest, trace_occluded
 from ..shade import pbr
 from ..shade.disney import fresnel_dielectric
 from .wavefront import CameraParams
@@ -76,7 +76,7 @@ def _closest(ss: SphereScene | None, cs: CompiledScene | None, o, d, t_min, t_ma
             hit=best.hit | (better & sh.hit),
         )
     if cs is not None:
-        th = tri_closest_hit(cs.bvh, cs.scene, o, d, t_min, t_max)
+        th = trace_closest(cs, o, d, t_min, t_max)
         tn = cs.scene.geometric_normal(jnp.maximum(th.tri, 0))
         tn = faceforward(tn, -d, tn)
         better = th.hit & (th.t < best.t)
@@ -95,9 +95,7 @@ def _occluded(ss, cs, o, d, t_min, t_max):
     if ss is not None:
         occ = occ | closest_hit_spheres(ss, o, d, t_min, t_max).hit
     if cs is not None:
-        from ..ops.traverse import any_hit as tri_any_hit
-
-        occ = occ | tri_any_hit(cs.bvh, cs.scene, o, d, t_min, t_max)
+        occ = occ | trace_occluded(cs, o, d, t_min, t_max)
     return occ
 
 

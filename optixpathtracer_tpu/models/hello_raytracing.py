@@ -19,7 +19,7 @@ from ..builder import CompiledScene
 from ..core.camera import Camera
 from ..core.math import Vec3, dot, faceforward, normalize, where
 from ..engine.wavefront import CameraParams
-from ..ops.traverse import any_hit, closest_hit
+from ..ops.dispatch import trace_closest, trace_occluded
 
 Array = jax.Array
 
@@ -47,7 +47,7 @@ def render_hello(
     zf = d.x * 0.0
     o = Vec3(cam.eye.x + zf, cam.eye.y + zf, cam.eye.z + zf)
 
-    rec = closest_hit(cs.bvh, cs.scene, o, d, 0.0, 1e20)
+    rec = trace_closest(cs, o, d, 0.0, 1e20)
     tri = jnp.maximum(rec.tri, 0)
     scene = cs.scene
 
@@ -81,7 +81,7 @@ def render_hello(
     )
     ldir = lp - p  # unnormalized: shadow ray parameterized to t in (0,1)
     t_max = jnp.where(rec.hit, 1.0 - 1e-3, 0.0)
-    occ = any_hit(cs.bvh, cs.scene, p + ng * 1e-3, ldir, 1e-3, t_max)
+    occ = trace_occluded(cs, p + ng * 1e-3, ldir, 1e-3, t_max)
     light_vis = jnp.where(occ, 0.0, 1.0)
 
     cos_dn = 0.1 + 0.8 * jnp.abs(dot(d, ns))

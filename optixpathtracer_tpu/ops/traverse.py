@@ -28,7 +28,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..bvh.lbvh import BVH
+from ..bvh.lbvh import TRAVERSAL_STACK_DEPTH, BVH
 from ..core.math import Vec3
 from ..core.scene import SceneData
 from .intersect import BIG_T, ray_aabb, ray_triangle
@@ -36,7 +36,7 @@ from .intersect import BIG_T, ray_aabb, ray_triangle
 Array = jax.Array
 _I32 = jnp.int32
 
-STACK_DEPTH = 64
+STACK_DEPTH = TRAVERSAL_STACK_DEPTH  # build_bvh asserts tree depth fits this
 ROOT_REF = 0  # internal node 0 is always the Karras root
 
 

@@ -4,25 +4,30 @@ This is the TPU-native answer to the reference's hardware traversal
 (HelloPathtracing_original/deviceProgram.cu:165-204 traceRadiance /
 traceOcclusion). Instead of a BVH walk (pointer chasing the TPU cannot do
 fast — measured ~26 GB/s ceiling on XLA gathers, see PERF_NOTES.md), rays
-are processed in coherent fixed-size blocks against fixed-size triangle
-clusters (bvh/clusters.py):
+are processed in coherent fixed-size blocks against a two-level cluster
+structure (bvh/clusters.py):
 
-  1. CULL (XLA): one dense (rays x clusters) ray-vs-bounding-sphere test,
-     OR-reduced over each ray block — the EXACT union of per-ray candidate
-     sets, not a lossy block-cone bound. Per block the surviving cluster ids
-     are ordered near-to-far by a provable distance lower bound.
+  1. CULL: one dense (rays x superclusters) ray-vs-bounding-sphere test —
+     the EXACT union of per-ray candidate sets, not a lossy block-cone
+     bound. Runs as a Pallas kernel (the (N, S) intermediates stay in
+     VMEM); one XLA sort orders each block's surviving supers near-to-far
+     by a provable distance lower bound.
   2. SWEEP (Pallas): one grid step per ray block. The kernel walks the
-     surviving clusters near-to-far; each iteration DMAs that cluster's
-     (9, C) triangle rows HBM->VMEM (double-buffered — no XLA gather) and
-     evaluates exact float32 Moller-Trumbore for all B x C ray/triangle
-     pairs as (B, C)-shaped VPU ops, keeping the per-ray closest hit.
-     The walk EARLY-EXITS as soon as every live ray's best hit is closer
-     than the next cluster's distance lower bound.
+     surviving superclusters near-to-far; a 4-deep DMA ring streams each
+     super's (9, SUPER*C) triangle rows HBM->VMEM (no XLA gather). For
+     each member cluster the kernel first re-tests its bounding sphere
+     against every ray's CURRENT [t_min, best_t] interval — a ~20-op
+     (B,1) test — and only where some ray still needs it evaluates exact
+     float32 Moller-Trumbore for all B x C pairs as (B, C) VPU ops. As
+     hits tighten best_t, later clusters fail the re-test and cost ~nothing;
+     the walk exits outright once every ray's best beats the next super's
+     lower bound.
 
-Exactness: the cull is conservative (a cluster is skipped only if provably
-unreachable by every ray in the block), the per-triangle test is exact f32,
-and the per-block cluster list physically cannot overflow (it is capped at
-M = all clusters). There is no truncation failure mode — unlike traverse_bfs.
+Exactness: the cull is conservative (a super is skipped only if provably
+unreachable by every ray in the block), the re-test is conservative per
+ray, the triangle test is exact f32, and the per-block list physically
+cannot overflow (capped at S = all supers). There is no truncation failure
+mode — unlike traverse_bfs.
 
 Coherence: selectivity of the block cull is what makes this fast; callers
 should order rays coherently (pixel tiles for camera rays; sorted wavefronts
@@ -39,7 +44,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..bvh.clusters import NUM_ROWS, ClusterSet
+from ..bvh.clusters import STORE_ROWS, SUPER, ClusterSet
 from ..core.math import Vec3
 from .intersect import BIG_T
 from .traverse import HitRecord
@@ -50,12 +55,14 @@ _F32 = jnp.float32
 
 DEFAULT_BLOCK = 128
 _BIG = 3.0e37  # python float: safe to close over in kernels
+_RING = 4  # sweep-kernel DMA pipeline depth
 
 
 class CullResult(NamedTuple):
-    ids: Array  # (NR, M) int32 cluster ids, survivors first, near-to-far
-    keys: Array  # (NR, M) f32 sorted distance lower bounds (BIG for misses)
-    count: Array  # (NR, 1) int32 number of surviving clusters
+    ids: Array  # (NR, S) int32 super ids, survivors first, near-to-far
+    keys: Array  # (NR, S) f32 sorted distance lower bounds (BIG for misses)
+    bits: Array  # (NR, S) int32 member-cluster bitmask, aligned with ids
+    count: Array  # (NR, 1) int32 number of surviving supers
     rays8: Array  # (NR*B, 8) f32 [o(3), d(3), t_min, t_max]
 
 
@@ -68,6 +75,138 @@ def _pad1(a: Array, n8: int, fill: float) -> Array:
     return jnp.concatenate([a, jnp.full((n8 - n,), fill, a.dtype)]) if n8 > n else a
 
 
+# --------------------------------------------------------------------------
+# Stage 1: cull (over superclusters)
+# --------------------------------------------------------------------------
+
+def _cull_math(o3, d3, tm, tM, alive_any, sph_t):
+    """Shared cull math for one ray block.
+
+    o3/d3/tm/tM: (B, 3)/(B, 3)/(B, 1)/(B, 1); sph_t: (8, M) transposed
+    PER-CLUSTER sphere table [qx | qy | qz | r | ...] in MEMBER-MAJOR column
+    order (cluster (sid, k) at column k*S + sid, so each member k occupies
+    one contiguous (1, S) slice). Returns (key (1, S) f32 with BIG for culled
+    supers, bits (1, S) i32 member bitmask, count () i32).
+
+    Per ray (unit direction u, geometric reach R = t_max*|d|) vs cluster
+    sphere (q, r): candidate iff the infinite line passes within r of q
+    (perp^2 <= r^2) AND the closest approach lies in [-r, R + r]. The
+    per-cluster mask is the union over the block's live rays — exact, not a
+    cone bound — packed into one bit per member cluster.
+
+    Near-to-far key per super: min over member clusters of
+    |q - Ob| - (r + Rb), with (Ob, Rb) bounding the live origins — a provable
+    lower bound on any hit's geometric distance (sweep early exit).
+    """
+    ox, oy, oz = o3[:, 0:1], o3[:, 1:2], o3[:, 2:3]
+    dx, dy, dz = d3[:, 0:1], d3[:, 1:2], d3[:, 2:3]
+    alive = tM > tm  # (B, 1)
+    dlen = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    inv = 1.0 / jnp.maximum(dlen, 1e-30)
+    ux, uy, uz = dx * inv, dy * inv, dz * inv
+    reach = tM * dlen
+
+    qx, qy, qz = sph_t[0:1, :], sph_t[1:2, :], sph_t[2:3, :]
+    r = sph_t[3:4, :]
+
+    wx = qx - ox  # (B, M)
+    wy = qy - oy
+    wz = qz - oz
+    tc = wx * ux + wy * uy + wz * uz
+    d2 = wx * wx + wy * wy + wz * wz
+    perp2 = d2 - tc * tc
+    hit = alive & (perp2 <= r * r) & (tc >= -r) & (tc - r <= reach)
+    mask = jnp.any(hit, axis=0, keepdims=True)  # (1, M)
+
+    def ob(a):
+        lo = jnp.min(jnp.where(alive, a, _BIG), axis=0, keepdims=True)
+        hi = jnp.max(jnp.where(alive, a, -_BIG), axis=0, keepdims=True)
+        lo = jnp.where(alive_any, lo, 0.0)
+        hi = jnp.where(alive_any, hi, 0.0)
+        return 0.5 * (lo + hi), hi - lo
+
+    obx, ex = ob(ox)
+    oby, ey = ob(oy)
+    obz, ez = ob(oz)
+    rb = 0.5 * jnp.sqrt(ex * ex + ey * ey + ez * ez)  # (1, 1)
+    bx = qx - obx
+    by = qy - oby
+    bz = qz - obz
+    dist = jnp.sqrt(bx * bx + by * by + bz * bz)  # (1, M)
+    ckey = jnp.where(mask, jnp.maximum(dist - (r + rb), 0.0), _BIG)
+
+    # member-major layout: member k of every super is the contiguous slice
+    # [k*S:(k+1)*S], so the per-super reduction is slicing, not reshapes
+    sn = ckey.shape[1] // SUPER
+    key = ckey[:, 0:sn]
+    bits = mask[:, 0:sn].astype(_I32)
+    for k in range(1, SUPER):
+        sl = slice(k * sn, (k + 1) * sn)
+        key = jnp.minimum(key, ckey[:, sl])
+        bits = bits + mask[:, sl].astype(_I32) * (2 ** k)
+    key = jnp.where(bits > 0, key, _BIG)
+    count = jnp.sum((bits > 0).astype(_I32))
+    return key, bits, count
+
+
+def _cull_kernel(rays_ref, sph_ref, key_ref, bits_ref, cnt_ref, *, block: int):
+    # 8 ray blocks per grid step (one full SMEM/out tile) to amortize the
+    # per-step pipeline overhead (~30us/step measured)
+    for r in range(8):
+        sl = slice(r * block, (r + 1) * block)
+        o3 = rays_ref[sl, 0:3]
+        d3 = rays_ref[sl, 3:6]
+        tm = rays_ref[sl, 6:7]
+        tM = rays_ref[sl, 7:8]
+        alive_any = jnp.max((tM > tm).astype(_F32)) > 0.0
+        key, bits, count = _cull_math(o3, d3, tm, tM, alive_any, sph_ref[:, :])
+        key_ref[r : r + 1, :] = key
+        bits_ref[r : r + 1, :] = bits
+        cnt_ref[r, 0] = count
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def _cull_pallas(rays8, sph_t, *, block: int, interpret: bool):
+    m = sph_t.shape[1]
+    s = m // SUPER
+    nr = rays8.shape[0] // block  # multiple of 8 (block_cull pads)
+    keys, bits, count = pl.pallas_call(
+        functools.partial(_cull_kernel, block=block),
+        grid=(nr // 8,),
+        in_specs=[
+            pl.BlockSpec((8 * block, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, s), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, s), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nr, s), _F32),
+            jax.ShapeDtypeStruct((nr, s), _I32),
+            jax.ShapeDtypeStruct((nr, 1), _I32),
+        ],
+        interpret=interpret,
+    )(rays8, sph_t)
+    return keys, bits, count
+
+
+def _cull_xla(rays8, sph_t, *, block: int):
+    nb = rays8.shape[0]
+    nr = nb // block
+    rb8 = rays8.reshape(nr, block, 8)
+    alive = rb8[:, :, 7:8] > rb8[:, :, 6:7]
+    alive_any = jnp.any(alive, axis=1, keepdims=True)  # (NR, 1, 1)
+    key, bits, count = jax.vmap(
+        lambda o3, d3, tm, tM, aa: _cull_math(o3, d3, tm, tM, aa, sph_t)
+    )(
+        rb8[:, :, 0:3], rb8[:, :, 3:6], rb8[:, :, 6:7], rb8[:, :, 7:8],
+        alive_any[:, 0],
+    )
+    return key[:, 0, :], bits[:, 0, :], count[:, None]
+
+
 def block_cull(
     cs: ClusterSet,
     o: Vec3,
@@ -75,20 +214,12 @@ def block_cull(
     t_min: Array,
     t_max: Array,
     block: int,
+    pallas_cull: bool | None = None,
 ) -> CullResult:
-    """Stage 1: per-ray sphere tests, OR-reduced per ray block.
-
-    Per ray (unit direction u, geometric reach R = t_max*|d|) vs cluster
-    sphere (q, r): candidate iff the infinite line passes within r of q
-    (perp^2 <= r^2) AND the closest approach lies in [-r, R + r]. The block
-    mask is the union over the block's live rays — exact, not a cone bound.
-
-    Near-to-far key per (block, cluster): |q - Ob| - (r + Rb) where (Ob, Rb)
-    bounds the block's live origins — a provable lower bound on any hit's
-    geometric distance, used for the kernel's early exit.
-    """
+    """Stage 1: per-ray sphere tests OR-reduced per ray block, then one sort
+    to order each block's surviving superclusters near-to-far."""
     n = o.x.shape[0]
-    nb = _round_up(max(n, block), block)
+    nb = _round_up(max(n, 8 * block), 8 * block)
     t_min = jnp.broadcast_to(jnp.asarray(t_min, _F32), (n,))
     t_max = jnp.broadcast_to(jnp.asarray(t_max, _F32), (n,))
     # padding rays are dead (t_max <= t_min)
@@ -96,63 +227,54 @@ def block_cull(
     dx, dy, dz = (_pad1(a, nb, 1.0) for a in (d.x, d.y, d.z))
     tm = _pad1(t_min, nb, 1.0)
     tM = _pad1(t_max, nb, 0.0)
+    # cap every ray's reach at the scene AABB exit: no hit can lie beyond,
+    # and the tighter t_max makes the sweep's early exit fire even in blocks
+    # containing sky rays (otherwise their t_max=1e16 pins gmax forever)
+    bb = cs.scene_aabb
+    ix = 1.0 / jnp.where(jnp.abs(dx) > 1e-30, dx, 1e-30)
+    iy = 1.0 / jnp.where(jnp.abs(dy) > 1e-30, dy, 1e-30)
+    iz = 1.0 / jnp.where(jnp.abs(dz) > 1e-30, dz, 1e-30)
+    t0x = (bb[0] - ox) * ix
+    t1x = (bb[3] - ox) * ix
+    t0y = (bb[1] - oy) * iy
+    t1y = (bb[4] - oy) * iy
+    t0z = (bb[2] - oz) * iz
+    t1z = (bb[5] - oz) * iz
+    entry = jnp.maximum(
+        jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+        jnp.maximum(jnp.minimum(t0z, t1z), 0.0),
+    )
+    exit_ = jnp.minimum(
+        jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+        jnp.maximum(t0z, t1z),
+    )
+    reach_cap = jnp.where(exit_ >= entry, jnp.maximum(exit_, 0.0), 0.0)
+    tM = jnp.minimum(tM, reach_cap * (1.0 + 1e-5) + 1e-6)
     rays8 = jnp.stack([ox, oy, oz, dx, dy, dz, tm, tM], axis=1)
 
-    alive = tM > tm
-    dlen = jnp.sqrt(dx * dx + dy * dy + dz * dz)
-    inv = 1.0 / jnp.maximum(dlen, 1e-30)
-    ux, uy, uz = dx * inv, dy * inv, dz * inv
-    reach = tM * dlen  # geometric t_max
+    # per-cluster sphere table, member-major columns (member k of super s at
+    # column k*S + s) so the cull can reduce members by slicing
+    m = cs.spheres.shape[0]
+    sn = m // SUPER
+    sph_t = (
+        cs.spheres.reshape(sn, SUPER, 8).transpose(1, 0, 2).reshape(m, 8).T
+    )  # (8, M)
+    if pallas_cull is None:
+        pallas_cull = jax.default_backend() == "tpu"
+    if pallas_cull:
+        key, bits, count = _cull_pallas(rays8, sph_t, block=block, interpret=False)
+    else:
+        key, bits, count = _cull_xla(rays8, sph_t, block=block)
 
-    sph = cs.spheres  # (M, 8)
-    qx, qy, qz, qr = sph[:, 0], sph[:, 1], sph[:, 2], sph[:, 3]
-
-    # ---- per-ray candidate test, fused into a per-block any-reduce ----
-    wx = qx[None, :] - ox[:, None]  # (N, M)
-    wy = qy[None, :] - oy[:, None]
-    wz = qz[None, :] - oz[:, None]
-    tc = wx * ux[:, None] + wy * uy[:, None] + wz * uz[:, None]
-    d2 = wx * wx + wy * wy + wz * wz
-    perp2 = d2 - tc * tc
-    r = qr[None, :]
-    hit_ray = (
-        alive[:, None]
-        & (perp2 <= r * r)
-        & (tc >= -r)
-        & (tc - r <= reach[:, None])
-    )
     nr = nb // block
-    m = sph.shape[0]
-    mask = jnp.any(hit_ray.reshape(nr, block, m), axis=1)  # (NR, M)
+    ids0 = jnp.broadcast_to(jnp.arange(sn, dtype=_I32)[None, :], (nr, sn))
+    keys, ids, bits = jax.lax.sort([key, ids0, bits], num_keys=1)
+    return CullResult(ids=ids, keys=keys, bits=bits, count=count, rays8=rays8)
 
-    # ---- block-level near-to-far lower bound ----
-    alive_b = alive.reshape(nr, block)
-    any_alive = jnp.any(alive_b, axis=1, keepdims=True)
 
-    def ob(a):
-        ab = a.reshape(nr, block)
-        lo = jnp.min(jnp.where(alive_b, ab, _BIG), axis=1, keepdims=True)
-        hi = jnp.max(jnp.where(alive_b, ab, -_BIG), axis=1, keepdims=True)
-        lo = jnp.where(any_alive, lo, 0.0)
-        hi = jnp.where(any_alive, hi, 0.0)
-        return 0.5 * (lo + hi), hi - lo
-
-    obx, ex = ob(ox)
-    oby, ey = ob(oy)
-    obz, ez = ob(oz)
-    rb = 0.5 * jnp.sqrt(ex * ex + ey * ey + ez * ez)  # (NR, 1)
-    bx = qx[None, :] - obx
-    by = qy[None, :] - oby
-    bz = qz[None, :] - obz
-    dist_b = jnp.sqrt(bx * bx + by * by + bz * bz)  # (NR, M)
-    key = jnp.maximum(dist_b - (qr[None, :] + rb), 0.0)
-    key = jnp.where(mask, key, _BIG)
-
-    ids0 = jnp.broadcast_to(jnp.arange(m, dtype=_I32)[None, :], (nr, m))
-    keys, ids = jax.lax.sort([key, ids0], num_keys=1)
-    count = jnp.sum(mask.astype(_I32), axis=1, keepdims=True)
-    return CullResult(ids=ids, keys=keys, count=count, rays8=rays8)
-
+# --------------------------------------------------------------------------
+# Stage 2: sweep
+# --------------------------------------------------------------------------
 
 def _mt_block(o3, d3, rows):
     """Moller-Trumbore numerators for a (B rays) x (C tris) block.
@@ -160,8 +282,7 @@ def _mt_block(o3, d3, rows):
     o3/d3: (B, 3) slices; rows: (9, C) = [v0 | e1 | e2]. Returns
     (det, u*det, v*det, t*det), each (B, C), computed entirely as
     broadcasted f32 VPU ops. Derivation: Cramer on [e1 e2 -d] x = o - v0;
-    the reference's per-thread version is deviceProgram.cu's intersection
-    via optixTrace hardware; here it's explicit (cited for spec parity).
+    replaces the reference's hardware triangle test behind optixTrace.
     """
     ox, oy, oz = o3[:, 0:1], o3[:, 1:2], o3[:, 2:3]
     dx, dy, dz = d3[:, 0:1], d3[:, 1:2], d3[:, 2:3]
@@ -219,116 +340,143 @@ def _mt_epilogue(det, up, vp, tp, tm, best, bu, bv, btri, cid, c):
 
 
 def _closest_kernel(
-    ids_ref, keys_ref, cnt_ref, rays_ref, rows_hbm,
-    t_ref, u_ref, v_ref, tri_ref, rbuf, sem, *, c: int, m: int,
+    ids_ref, keys_ref, bits_ref, cnt_ref, rays_ref, rows_hbm,
+    t_ref, u_ref, v_ref, tri_ref,
+    rbuf, sem, acc_t, acc_u, acc_v, acc_tri, *, c: int, s: int, block: int,
 ):
-    # ids/keys/cnt arrive in 8-row SMEM tiles (Mosaic block-shape rule);
-    # this grid step's row within the tile:
-    r = jax.lax.rem(pl.program_id(0), 8)
-    count = cnt_ref[r, 0]
-    o3 = rays_ref[:, 0:3]
-    d3 = rays_ref[:, 3:6]
-    tm = rays_ref[:, 6:7]
-    tM = rays_ref[:, 7:8]
-    b = o3.shape[0]
-    dlen = jnp.sqrt(
-        d3[:, 0:1] ** 2 + d3[:, 1:2] ** 2 + d3[:, 2:3] ** 2
-    )  # (B, 1) t -> geometric units for the early-exit bound
+    # 8 ray blocks per grid step (one full SMEM tile of ids/keys/bits/cnt)
+    # to amortize the per-step pipeline overhead (~30us/step measured)
+    for r in range(8):
+        sl = slice(r * block, (r + 1) * block)
+        count = cnt_ref[r, 0]
+        o3 = rays_ref[sl, 0:3]
+        d3 = rays_ref[sl, 3:6]
+        tm = rays_ref[sl, 6:7]
+        tM = rays_ref[sl, 7:8]
+        dlen = jnp.sqrt(
+            d3[:, 0:1] ** 2 + d3[:, 1:2] ** 2 + d3[:, 2:3] ** 2
+        )  # (B, 1): t -> geometric units for the early-exit bound
 
-    def dma(slot, j):
-        return pltpu.make_async_copy(
-            rows_hbm.at[ids_ref[r, j]], rbuf.at[slot], sem.at[slot]
-        )
+        acc_t[:, :] = tM  # best t starts at each ray's own t_max
+        acc_u[:, :] = jnp.zeros_like(tM)
+        acc_v[:, :] = jnp.zeros_like(tM)
+        acc_tri[:, :] = jnp.full_like(tM, -1).astype(_I32)
 
-    @pl.when(count > 0)
-    def _():
-        dma(0, 0).start()
+        def dma(j, r=r):
+            slot = jax.lax.rem(j, _RING)
+            return pltpu.make_async_copy(
+                rows_hbm.at[ids_ref[r, j]], rbuf.at[slot], sem.at[slot]
+            )
 
-    best0 = tM
-    gmax0 = jnp.max(jnp.minimum(best0 * dlen, _BIG))
-    init = (
-        jnp.int32(0),
-        gmax0,
-        best0,
-        jnp.zeros((b, 1), _F32),
-        jnp.zeros((b, 1), _F32),
-        jnp.full((b, 1), -1, _I32),
-    )
+        # prime the DMA ring
+        for k in range(_RING - 1):
+            @pl.when(k < count)
+            def _(k=k):
+                dma(k).start()
 
-    def cond(carry):
-        i, gmax = carry[0], carry[1]
-        # early exit: every ray's best hit is closer than the next cluster's
-        # provable distance lower bound (keys are sorted ascending)
-        return (i < count) & (keys_ref[r, jnp.minimum(i, m - 1)] <= gmax)
+        gmax0 = jnp.max(jnp.minimum(tM * dlen, _BIG))
 
-    def body(carry):
-        i, gmax, best, bu, bv, btri = carry
-        cur = jnp.bitwise_and(i, 1)
+        def cond(carry, r=r):
+            i, gmax = carry
+            # early exit: every ray's best hit is closer than the next
+            # super's provable distance lower bound (keys sorted ascending)
+            return (i < count) & (keys_ref[r, jnp.minimum(i, s - 1)] <= gmax)
 
-        @pl.when(i + 1 < count)
-        def _():
-            dma(1 - cur, i + 1).start()
+        def body(carry, r=r, count=count, o3=o3, d3=d3, tm=tm, dlen=dlen):
+            i, gmax = carry
 
-        dma(cur, i).wait()
-        cid = ids_ref[r, i]
-        det, up, vp, tp = _mt_block(o3, d3, rbuf[cur])
-        best, bu, bv, btri = _mt_epilogue(
-            det, up, vp, tp, tm, best, bu, bv, btri, cid, c
-        )
-        gmax = jnp.max(jnp.minimum(best * dlen, _BIG))
-        return i + 1, gmax, best, bu, bv, btri
+            @pl.when(i + (_RING - 1) < count)
+            def _():
+                dma(i + (_RING - 1)).start()
 
-    i_f, _, best, bu, bv, btri = jax.lax.while_loop(cond, body, init)
+            dma(i).wait()
+            sid = ids_ref[r, i]
+            bitsw = bits_ref[r, i]
+            slot = jax.lax.rem(i, _RING)
+            rows_super = rbuf[slot]  # (STORE_ROWS, SUPER*C)
 
-    # early exit leaves the (i_f)-th DMA started but unconsumed; drain it so
-    # the semaphore is balanced for the next grid step
-    @pl.when(i_f < count)
-    def _():
-        dma(jnp.bitwise_and(i_f, 1), i_f).wait()
+            for k in range(SUPER):
+                # the cull already decided per member cluster whether ANY ray
+                # in this block can hit it; the gate is one scalar bit test
+                @pl.when(jnp.bitwise_and(bitsw, 2 ** k) != 0)
+                def _(k=k):
+                    det, up, vp, tp = _mt_block(
+                        o3, d3, rows_super[:, k * c : (k + 1) * c]
+                    )
+                    nt, nu, nv, ntri = _mt_epilogue(
+                        det, up, vp, tp, tm,
+                        acc_t[:, :], acc_u[:, :], acc_v[:, :], acc_tri[:, :],
+                        sid * SUPER + k, c,
+                    )
+                    acc_t[:, :] = nt
+                    acc_u[:, :] = nu
+                    acc_v[:, :] = nv
+                    acc_tri[:, :] = ntri
 
-    t_ref[:, :] = best
-    u_ref[:, :] = bu
-    v_ref[:, :] = bv
-    tri_ref[:, :] = btri
+            gmax = jnp.max(jnp.minimum(acc_t[:, :] * dlen, _BIG))
+            return i + 1, gmax
+
+        i_f, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), gmax0))
+
+        # early exit leaves up to _RING-1 DMAs in flight; drain them so the
+        # semaphores are balanced for the next sub-block / grid step
+        for k in range(_RING - 1):
+            @pl.when(i_f + k < count)
+            def _(k=k):
+                dma(i_f + k).wait()
+
+        t_ref[sl, :] = acc_t[:, :]
+        u_ref[sl, :] = acc_u[:, :]
+        v_ref[sl, :] = acc_v[:, :]
+        tri_ref[sl, :] = acc_tri[:, :]
 
 
 @functools.partial(jax.jit, static_argnames=("block", "interpret", "cluster_size"))
 def _closest_pallas(
-    rows, ids, keys, count, rays8, *, block: int, interpret: bool,
+    rows, ids, keys, bits, count, rays8, *, block: int, interpret: bool,
     cluster_size: int,
 ):
-    m = rows.shape[0]
+    s = rows.shape[0]
     c = cluster_size
-    nr = rays8.shape[0] // block
-    kernel = functools.partial(_closest_kernel, c=c, m=m)
+    nr = rays8.shape[0] // block  # multiple of 8 (block_cull pads)
+    kernel = functools.partial(_closest_kernel, c=c, s=s, block=block)
+    n8 = rays8.shape[0]
     outs = pl.pallas_call(
         kernel,
-        grid=(nr,),
+        grid=(nr // 8,),
         in_specs=[
-            pl.BlockSpec((8, m), lambda i: (i // 8, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((8, m), lambda i: (i // 8, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((8, 1), lambda i: (i // 8, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((block, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((8, s), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, s), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, s), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((8 * block, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            # triangle rows must STAY in HBM: the kernel DMAs one super at a
+            # time (VMEM placement both overflows at scale and breaks the
+            # slice tiling rules)
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=[
-            pl.BlockSpec((block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((rays8.shape[0], 1), _F32),
-            jax.ShapeDtypeStruct((rays8.shape[0], 1), _F32),
-            jax.ShapeDtypeStruct((rays8.shape[0], 1), _F32),
-            jax.ShapeDtypeStruct((rays8.shape[0], 1), _I32),
+            jax.ShapeDtypeStruct((n8, 1), _F32),
+            jax.ShapeDtypeStruct((n8, 1), _F32),
+            jax.ShapeDtypeStruct((n8, 1), _F32),
+            jax.ShapeDtypeStruct((n8, 1), _I32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, NUM_ROWS, c), _F32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((_RING, STORE_ROWS, SUPER * c), _F32),
+            pltpu.SemaphoreType.DMA((_RING,)),
+            pltpu.VMEM((block, 1), _F32),
+            pltpu.VMEM((block, 1), _F32),
+            pltpu.VMEM((block, 1), _F32),
+            pltpu.VMEM((block, 1), _I32),
         ],
         interpret=interpret,
-    )(ids, keys, count, rays8, rows)
+    )(ids, keys, bits, count, rays8, rows)
     return outs
 
 
@@ -344,11 +492,14 @@ def closest_hit_cluster(
     """Exact closest-hit for a ray wavefront (cluster backend)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    interpret = bool(interpret)
     n = o.x.shape[0]
-    cull = block_cull(cs, o, d, t_min, t_max, block)
+    cull = block_cull(
+        cs, o, d, t_min, t_max, block, pallas_cull=(False if interpret else None)
+    )
     t, u, v, tri = _closest_pallas(
-        cs.rows, cull.ids, cull.keys, cull.count, cull.rays8,
-        block=block, interpret=bool(interpret), cluster_size=cs.cluster_size,
+        cs.rows, cull.ids, cull.keys, cull.bits, cull.count, cull.rays8,
+        block=block, interpret=interpret, cluster_size=cs.cluster_size,
     )
     t = t[:n, 0]
     tri = tri[:n, 0]
@@ -385,12 +536,12 @@ def reference_closest(
     t_min: Array | float = 0.001,
     t_max: Array | float = 1e16,
 ) -> HitRecord:
-    """Dense no-cull oracle: same M-T math, scanned over every cluster.
+    """Dense no-cull oracle: same M-T math, scanned over every supercluster.
 
     Used by tests as an independent check (the cull must never change
     results) and usable as an exact no-BVH fallback on any backend."""
     n = o.x.shape[0]
-    c = cs.cluster_size
+    ce = SUPER * cs.cluster_size  # one super = one big cluster here
     tm = jnp.broadcast_to(jnp.asarray(t_min, _F32), (n,))[:, None]
     tM = jnp.broadcast_to(jnp.asarray(t_max, _F32), (n,))[:, None]
     o3 = jnp.stack([o.x, o.y, o.z], axis=1)
@@ -404,14 +555,14 @@ def reference_closest(
     )
 
     def step(carry, xs):
-        rows, cid = xs
+        rows, sid = xs
         best, bu, bv, btri = carry
         det, up, vp, tp = _mt_block(o3, d3, rows)
-        return _mt_epilogue(det, up, vp, tp, tm, best, bu, bv, btri, cid, c), None
+        return _mt_epilogue(det, up, vp, tp, tm, best, bu, bv, btri, sid, ce), None
 
-    m = cs.rows.shape[0]
+    s = cs.rows.shape[0]
     (best, bu, bv, btri), _ = jax.lax.scan(
-        step, init, (cs.rows, jnp.arange(m, dtype=_I32))
+        step, init, (cs.rows, jnp.arange(s, dtype=_I32))
     )
     tri = btri[:, 0]
     miss = tri < 0

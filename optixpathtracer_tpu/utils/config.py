@@ -85,7 +85,7 @@ def add_config_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--height", type=int, default=None)
     parser.add_argument("--spp", type=int, default=None)
     parser.add_argument("--max-depth", type=int, default=None, dest="max_depth")
-    parser.add_argument("--traversal", default=None, choices=["lockstep", "bfs"])
+    parser.add_argument("--traversal", default=None, choices=["lockstep", "bfs", "cluster", "dense"])
     parser.add_argument("--denoise", action="store_true", default=None)
     parser.add_argument("--tonemap", default=None, choices=["none", "sqrt", "reinhard"])
     parser.add_argument("--exposure", type=float, default=None)

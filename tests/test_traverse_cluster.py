@@ -127,8 +127,10 @@ def test_any_hit_matches_closest(rng):
 
 
 def test_cull_is_conservative(rng):
-    """Every triangle hit found by brute force must come from a cluster the
-    cull kept for that ray's block (cull must never drop a needed cluster)."""
+    """Every triangle hit found by brute force must come from a supercluster
+    the cull kept for that ray's block (it must never drop a needed one)."""
+    from optixpathtracer_tpu.bvh.clusters import SUPER
+
     v0, v1, v2 = _random_tris(rng, 320)
     cs = build_clusters(v0, v1, v2, 320, cluster_size=64)
     ov, dv, o, d = _random_rays(rng, 384)
@@ -138,14 +140,14 @@ def test_cull_is_conservative(rng):
     count = np.asarray(cull.count)[:, 0]
     kept = [set(ids[b, : count[b]].tolist()) for b in range(ids.shape[0])]
     for i in np.nonzero(btri >= 0)[0]:
-        cluster = btri[i] // cs.cluster_size
-        assert cluster in kept[i // 128], (i, btri[i])
+        sid = btri[i] // (cs.cluster_size * SUPER)
+        assert sid in kept[i // 128], (i, btri[i])
 
 
 def test_single_cluster_and_tiny_scene(rng):
     v0, v1, v2 = _random_tris(rng, 5)
     cs = build_clusters(v0, v1, v2, 5, cluster_size=64)
-    assert cs.num_clusters == 1
+    assert cs.num_supers == 1  # clusters are padded to one full super
     ov, dv, o, d = _random_rays(rng, 64)
     rec = closest_hit_cluster(cs, ov, dv, 1e-3, 1e16, block=128, interpret=True)
     bt, btri = _brute(v0, v1, v2, o, d, 1e-3, 1e16)
