@@ -135,24 +135,40 @@ def main():
     )
 
     # ---- quality gate 1: traversal exactness at bench scale -------------
-    # the headline number is only admissible if the fast backend agrees with
-    # the dense no-cull oracle on this very scene (round-1 lesson: a Mrays/s
-    # figure from a truncating traversal is not a legitimate perf point)
-    gate_rmse = 0.0
+    # the headline number is only admissible if the fast backend agrees
+    # EXACTLY with the dense no-cull oracle on this very scene (round-1
+    # lesson: a Mrays/s figure from a truncating traversal is not a
+    # legitimate perf point). 8k mixed rays: camera rays + scene-interior
+    # bounce-like rays.
+    gate_mismatch = 0
     if not on_cpu:
-        gcfg = dataclasses.replace(
-            cfg, width=192, height=128, samples_per_launch=1, max_depth=2,
-            dispatch_tiles=1,
+        from optixpathtracer_tpu.core.math import Vec3
+        from optixpathtracer_tpu.ops.traverse_cluster import (
+            closest_hit_cluster,
+            reference_closest,
         )
-        fast = Renderer(cs, probe, gcfg, cam)
-        fast.render()
-        exact = Renderer(
-            cs, probe, dataclasses.replace(gcfg, traversal="oracle"), cam
+
+        rng = np.random.default_rng(42)
+        n_g = 8192
+        half = n_g // 2
+        uu, vv, ww = cam.uvw_frame()
+        sx = rng.uniform(-1, 1, (half, 1))
+        sy = rng.uniform(-1, 1, (half, 1))
+        dcam = sx * uu[None] + sy * vv[None] + ww[None]
+        ocam = np.broadcast_to(np.asarray(cam.eye, np.float32), (half, 3))
+        obnc = rng.uniform(-50, 50, (half, 3))
+        obnc[:, 1] = rng.uniform(0.2, 10, half)
+        dbnc = rng.normal(0, 1, (half, 3))
+        og = np.concatenate([ocam, obnc]).astype(np.float32)
+        dg = np.concatenate([dcam, dbnc]).astype(np.float32)
+        dg /= np.linalg.norm(dg, axis=1, keepdims=True)
+        ov = Vec3(*(jnp.asarray(og[:, i]) for i in range(3)))
+        dv = Vec3(*(jnp.asarray(dg[:, i]) for i in range(3)))
+        fast = closest_hit_cluster(cs.clusters, ov, dv, 1e-3, 1e16)
+        exact = reference_closest(cs.clusters, ov, dv, 1e-3, 1e16)
+        gate_mismatch = int(
+            (np.asarray(fast.tri) != np.asarray(exact.tri)).sum()
         )
-        exact.render()
-        a = fast.accum_image()
-        b = exact.accum_image()
-        gate_rmse = float(np.sqrt(np.mean((a - b) ** 2)))
 
     r = Renderer(cs, probe, cfg, cam)
 
@@ -176,7 +192,7 @@ def main():
     fps = frames / dt
 
     # ---- quality gates: refuse a headline number from wrong images ------
-    gated_out = (overflow != 0.0) or (gate_rmse > 1e-3)
+    gated_out = (overflow != 0.0) or (gate_mismatch != 0)
     result = {
         "metric": "Mrays/s incoherent (Disney PT, depth 4, 150k-tri city, 1200x800)",
         "value": 0.0 if gated_out else round(mrays, 3),
@@ -193,7 +209,7 @@ def main():
                     "rays_total": rays,
                     "traversal": cfg.traversal,
                     "overflow": overflow,
-                    "gate_rmse_vs_exact": round(gate_rmse, 8),
+                    "gate_mismatch_rays": gate_mismatch,
                     "quality_gated_out": gated_out,
                     "bvh_build_s": round(build_s, 2),
                     "first_frame_incl_compile_s": round(compile_s, 2),

@@ -431,6 +431,126 @@ def _closest_kernel(
         tri_ref[sl, :] = acc_tri[:, :]
 
 
+def _any_kernel(
+    ids_ref, keys_ref, bits_ref, cnt_ref, rays_ref, rows_hbm,
+    occ_ref, rbuf, sem, acc_occ, *, c: int, s: int, block: int,
+):
+    """Terminate-on-first-hit occlusion sweep (OPTIX_RAY_FLAG_TERMINATE_ON_
+    FIRST_HIT role, deviceProgram.cu:198). Same walk as _closest_kernel but
+    tracks only a per-ray occluded flag: occluded rays drop out of the
+    early-exit bound immediately, so shadow sweeps end as soon as every ray
+    is either occluded or out of candidates."""
+    for r in range(8):
+        sl = slice(r * block, (r + 1) * block)
+        count = cnt_ref[r, 0]
+        o3 = rays_ref[sl, 0:3]
+        d3 = rays_ref[sl, 3:6]
+        tm = rays_ref[sl, 6:7]
+        tM = rays_ref[sl, 7:8]
+        dlen = jnp.sqrt(d3[:, 0:1] ** 2 + d3[:, 1:2] ** 2 + d3[:, 2:3] ** 2)
+        reach = tM * dlen  # (B, 1) geometric
+
+        acc_occ[:, :] = jnp.zeros((block, 1), _I32)
+
+        def dma(j, r=r):
+            slot = jax.lax.rem(j, _RING)
+            return pltpu.make_async_copy(
+                rows_hbm.at[ids_ref[r, j]], rbuf.at[slot], sem.at[slot]
+            )
+
+        for k in range(_RING - 1):
+            @pl.when(k < count)
+            def _(k=k):
+                dma(k).start()
+
+        gmax0 = jnp.max(jnp.minimum(reach, _BIG))
+
+        def cond(carry, r=r):
+            i, gmax = carry
+            return (i < count) & (keys_ref[r, jnp.minimum(i, s - 1)] <= gmax)
+
+        def body(carry, r=r, count=count, o3=o3, d3=d3, tm=tm, tM=tM, reach=reach):
+            i, gmax = carry
+
+            @pl.when(i + (_RING - 1) < count)
+            def _():
+                dma(i + (_RING - 1)).start()
+
+            dma(i).wait()
+            bitsw = bits_ref[r, i]
+            slot = jax.lax.rem(i, _RING)
+            rows_super = rbuf[slot]
+
+            for k in range(SUPER):
+                @pl.when(jnp.bitwise_and(bitsw, 2 ** k) != 0)
+                def _(k=k):
+                    det, up, vp, tp = _mt_block(
+                        o3, d3, rows_super[:, k * c : (k + 1) * c]
+                    )
+                    sgn = jnp.where(det >= 0.0, 1.0, -1.0).astype(_F32)
+                    ad = det * sgn
+                    us = up * sgn
+                    vs = vp * sgn
+                    ts = tp * sgn
+                    pos = ad > 0.0
+                    invd = jnp.where(pos, 1.0 / jnp.where(pos, ad, 1.0), 0.0)
+                    t = ts * invd
+                    hit = (
+                        pos & (us >= 0.0) & (vs >= 0.0) & (us + vs <= ad)
+                        & (t > tm) & (t < tM)
+                    )
+                    anyh = jnp.any(hit, axis=1, keepdims=True)
+                    acc_occ[:, :] = acc_occ[:, :] | anyh.astype(_I32)
+
+            # occluded rays stop constraining the walk
+            live_reach = jnp.where(acc_occ[:, :] > 0, 0.0, reach)
+            gmax = jnp.max(jnp.minimum(live_reach, _BIG))
+            return i + 1, gmax
+
+        i_f, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), gmax0))
+
+        for k in range(_RING - 1):
+            @pl.when(i_f + k < count)
+            def _(k=k):
+                dma(i_f + k).wait()
+
+        occ_ref[sl, :] = acc_occ[:, :]
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret", "cluster_size"))
+def _any_pallas(
+    rows, ids, keys, bits, count, rays8, *, block: int, interpret: bool,
+    cluster_size: int,
+):
+    s = rows.shape[0]
+    c = cluster_size
+    nr = rays8.shape[0] // block
+    kernel = functools.partial(_any_kernel, c=c, s=s, block=block)
+    n8 = rays8.shape[0]
+    return pl.pallas_call(
+        kernel,
+        grid=(nr // 8,),
+        in_specs=[
+            pl.BlockSpec((8, s), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, s), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, s), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((8 * block, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(
+            (8 * block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n8, 1), _I32),
+        scratch_shapes=[
+            pltpu.VMEM((_RING, STORE_ROWS, SUPER * c), _F32),
+            pltpu.SemaphoreType.DMA((_RING,)),
+            pltpu.VMEM((block, 1), _I32),
+        ],
+        interpret=interpret,
+    )(ids, keys, bits, count, rays8, rows)
+
+
 @functools.partial(jax.jit, static_argnames=("block", "interpret", "cluster_size"))
 def _closest_pallas(
     rows, ids, keys, bits, count, rays8, *, block: int, interpret: bool,
@@ -523,10 +643,20 @@ def any_hit_cluster(
 ) -> tuple[Array, Array]:
     """Occlusion query: (occluded (N,), overflow scalar == 0 always).
 
-    Reuses the closest-hit sweep (correct; terminate-on-first-hit is a later
-    optimization). Matches any_hit_bfs's interface."""
-    rec = closest_hit_cluster(cs, o, d, t_min, t_max, block, interpret)
-    return rec.tri >= 0, jnp.zeros((), _F32)
+    Dedicated terminate-on-first-hit sweep: occluded rays stop constraining
+    the walk immediately. Matches any_hit_bfs's interface."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    interpret = bool(interpret)
+    n = o.x.shape[0]
+    cull = block_cull(
+        cs, o, d, t_min, t_max, block, pallas_cull=(False if interpret else None)
+    )
+    occ = _any_pallas(
+        cs.rows, cull.ids, cull.keys, cull.bits, cull.count, cull.rays8,
+        block=block, interpret=interpret, cluster_size=cs.cluster_size,
+    )
+    return occ[:n, 0] > 0, jnp.zeros((), _F32)
 
 
 def reference_closest(
