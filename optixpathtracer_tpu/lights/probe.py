@@ -47,12 +47,29 @@ class Probe(NamedTuple):
         return self.r.shape[0]
 
 
-def build_probe(image: np.ndarray | Array, offset=(0.0, 0.0, 0.0)) -> Probe:
-    """BuildCDF equivalent: (H, W, 3) float32 HDR image -> Probe tables."""
+def build_probe(
+    image: np.ndarray | Array,
+    offset=(0.0, 0.0, 0.0),
+    gaussian_prefilter: bool = False,
+) -> Probe:
+    """BuildCDF equivalent: (H, W, 3) float32 HDR image -> Probe tables.
+
+    gaussian_prefilter: smooth the luminance with a 3x3 binomial kernel
+    before building the CDF (OptixUtils/Texture.cpp:5-40) — de-spikes the
+    importance sampling around single hot texels. The pdf tables describe
+    the FILTERED density actually sampled, so the estimator stays unbiased;
+    only sampling quality changes.
+    """
     img = jnp.asarray(image, jnp.float32)
     h, w = img.shape[:2]
     r, g, b = img[..., 0], img[..., 1], img[..., 2]
     weight = luminance(Vec3(r, g, b))  # (H, W), reference luminance weights
+    if gaussian_prefilter:
+        # 3x3 binomial, wrapping in longitude, clamping at the poles
+        wx = jnp.roll(weight, 1, axis=1) + 2.0 * weight + jnp.roll(weight, -1, axis=1)
+        up = jnp.concatenate([wx[:1], wx[:-1]], axis=0)
+        dn = jnp.concatenate([wx[1:], wx[-1:]], axis=0)
+        weight = (up + 2.0 * wx + dn) * (1.0 / 16.0)
 
     row_total = jnp.sum(weight, axis=1, keepdims=True)  # (H, 1)
     safe_row = jnp.maximum(row_total, 1e-20)

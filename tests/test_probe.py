@@ -95,3 +95,29 @@ def test_pdf_integrates_to_one():
     sin_t = np.sin(((np.arange(h) + 0.5) / h) * np.pi)
     total = (pdf * sin_t[:, None]).sum() * (np.pi / h) * (2 * np.pi / w)
     np.testing.assert_allclose(total, 1.0, rtol=0.05)
+
+
+def test_gaussian_prefilter_stays_unbiased():
+    """Prefiltered CDF (OptixUtils/Texture.cpp:5-40 parity): the MC estimate
+    E[L/pdf] must still equal the sphere integral (pdf matches what is
+    actually sampled), and the pdf must stay normalized."""
+    _, img = _gradient_probe()
+    p = P.build_probe(img, gaussian_prefilter=True)
+    st = RngState.for_pixels(jnp.arange(1 << 15, dtype=jnp.uint32), 5)
+    _, d, color, pdf = P.probe_sample(p, st)
+    pdf_np = np.asarray(pdf)
+    est = np.divide(
+        np.asarray(color.x), pdf_np, out=np.zeros_like(pdf_np), where=pdf_np > 0
+    ).mean()
+    h, w = img.shape[:2]
+    v = (np.arange(h) + 0.5) / h
+    sin_t = np.sin(v * np.pi)
+    riemann = (img[..., 0] * sin_t[:, None]).sum() * (np.pi / h) * (2 * np.pi / w)
+    np.testing.assert_allclose(est, riemann, rtol=0.05)
+
+    vv, uu = np.meshgrid((np.arange(64) + 0.5) / 64, (np.arange(128) + 0.5) / 128, indexing="ij")
+    dd = P.uv_to_dir(jnp.asarray(uu.ravel(), jnp.float32), jnp.asarray(vv.ravel(), jnp.float32))
+    pdfs = np.asarray(P.probe_pdf(p, dd)).reshape(64, 128)
+    sint = np.sin(((np.arange(64) + 0.5) / 64) * np.pi)
+    total = (pdfs * sint[:, None]).sum() * (np.pi / 64) * (2 * np.pi / 128)
+    np.testing.assert_allclose(total, 1.0, rtol=0.05)
