@@ -112,7 +112,7 @@ def main():
 
     hs = build_city_scene(n_boxes=n_boxes)
     t0 = time.perf_counter()
-    cs = compile_scene(hs, leaf_size=8, wide_width=8)
+    cs = compile_scene(hs, leaf_size=8, wide_width=8, build_wide_bvh=False)
     build_s = time.perf_counter() - t0
 
     # sky probe with a sun

@@ -20,7 +20,7 @@ from typing import NamedTuple, Optional
 
 import numpy as np
 
-from .bvh.clusters import ClusterSet, build_clusters
+from .bvh.clusters import SUPER, ClusterSet, build_clusters, build_instanced_clusters
 from .bvh.lbvh import BVH, build_bvh
 from .bvh.wide import WideBVH, build_wide
 from .core.scene import HostScene, SceneData, device_scene_from_sorted
@@ -28,7 +28,7 @@ from .core.scene import HostScene, SceneData, device_scene_from_sorted
 
 class CompiledScene(NamedTuple):
     scene: SceneData
-    bvh: BVH
+    bvh: Optional[BVH]  # None for instanced scenes (cluster backend only)
     num_triangles: int  # real (unpadded) triangle count
     wide: Optional[WideBVH] = None  # BFS-backend acceleration structure
     clusters: Optional[ClusterSet] = None  # cluster-backend structure
@@ -54,13 +54,9 @@ def compile_scene(
 
     wide = None
     if build_wide_bvh:
+        h = res.host  # host copies — never download device arrays (tunnel!)
         wide = build_wide(
-            np.asarray(res.bvh.child_left),
-            np.asarray(res.bvh.child_right),
-            np.asarray(res.bvh.left_min.to_array()),
-            np.asarray(res.bvh.left_max.to_array()),
-            np.asarray(res.bvh.right_min.to_array()),
-            np.asarray(res.bvh.right_max.to_array()),
+            h["left"], h["right"], h["lmin"], h["lmax"], h["rmin"], h["rmax"],
             sv0,
             sv1,
             sv2,
@@ -83,5 +79,48 @@ def compile_scene(
         bvh=res.bvh,
         num_triangles=len(v0),
         wide=wide,
+        clusters=clusters,
+    )
+
+
+def compile_instanced(
+    host: HostScene,
+    transforms: np.ndarray,
+    cluster_size: int = 128,
+) -> CompiledScene:
+    """Instanced scene compile: the prototype HostScene's geometry is stored
+    ONCE in local space (the BLAS); each of the (I, 4, 4) transforms adds
+    only per-entry world bounds + a transform id (the IAS). Replaces the
+    reference's per-mesh GAS + instance AS with per-instance sbtOffset
+    (sutil/Scene.cpp:776-1150). Changing transforms later needs no geometry
+    rebuild (bvh.clusters.update_instance_transforms).
+
+    Traversal: cluster backend only (HitRecord.tri is an ENTRY-slot id;
+    engine/wavefront._hit_geometry resolves it to mesh triangle + instance).
+    """
+    from .bvh.morton import np_morton_codes
+
+    flat = host.flatten()
+    v0, v1, v2 = flat["v"]
+    t = len(v0)
+    slot = SUPER * int(cluster_size)
+    pad_to = max(slot, -(-t // slot) * slot)
+    ctr = (np.asarray(v0, np.float64) + v1 + v2) / 3.0
+    order = np.argsort(np_morton_codes(ctr), kind="stable")
+    if pad_to > t:
+        order = np.concatenate([order, np.repeat(order[-1:], pad_to - t)])
+    scene = device_scene_from_sorted(flat, order, pad_to)
+    sv0 = np.asarray(v0)[order]
+    sv1 = np.asarray(v1)[order]
+    sv2 = np.asarray(v2)[order]
+    clusters = build_instanced_clusters(
+        sv0, sv1, sv2, num_real=pad_to, transforms=np.asarray(transforms),
+        cluster_size=cluster_size,
+    )
+    return CompiledScene(
+        scene=scene,
+        bvh=None,
+        num_triangles=t * len(np.asarray(transforms)),
+        wide=None,
         clusters=clusters,
     )

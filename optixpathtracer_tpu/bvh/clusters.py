@@ -46,20 +46,43 @@ SUPER = 8  # clusters per supercluster
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class ClusterSet:
-    """Device-resident two-level cluster acceleration structure."""
+    """Device-resident two-level cluster acceleration structure.
 
-    rows: Array  # (S, 16, SUPER*C) f32 triangle rows [v0 | e1 | e2 | pad], grouped
-    #              by supercluster; columns [cluster0 tris | cluster1 tris ...]
-    spheres: Array  # (S*SUPER, 8) f32 per-cluster [cx cy cz r hx hy hz 0]
-    super_spheres: Array  # (S, 8) f32 per-super bounding spheres
+    Instancing (the reference's IAS over per-mesh GAS, sutil/Scene.cpp:
+    1071-1150): the traversal walks ENTRIES — (instance, mesh-supercluster)
+    pairs — instead of raw superclusters. Each entry carries world-space
+    bounds, the row index of its mesh super's shared triangle block (the
+    BLAS — stored once however many instances reference it), and a transform
+    id; the sweep kernel moves the ray block into instance space per visit.
+    t is invariant under the affine map (A(o+td)+b = (Ao+b) + t(Ad)), so all
+    distance/early-exit logic stays in world units. A non-instanced scene is
+    the identity special case (entries == supers, one identity transform).
+    """
+
+    rows: Array  # (S_mesh, 16, SUPER*C) f32 triangle rows [v0 | e1 | e2 |
+    #              pad] in MESH-LOCAL space, grouped by supercluster;
+    #              columns [cluster0 tris | cluster1 tris ...]
+    spheres: Array  # (E*SUPER, 8) f32 per-entry-member WORLD bounding
+    #                 spheres [cx cy cz r hx hy hz 0]
+    super_spheres: Array  # (E, 8) f32 per-entry WORLD bounding spheres
     scene_aabb: Array  # (8,) f32 [lox loy loz hix hiy hiz 0 0]: whole-scene
-    #   box; rays' reach is capped at its exit (no hit can lie beyond), which
-    #   is what makes the sweep's early exit effective for sky rays
+    #   WORLD box; rays' reach is capped at its exit (no hit can lie
+    #   beyond), which makes the sweep's early exit effective for sky rays
+    entry_row: Array  # (E,) i32: rows index of each entry's mesh super
+    entry_xf: Array  # (E,) i32: transform id of each entry
+    xf_inv: Array  # (I, 16) f32 world->local [A row-major 9 | b 3 | pad]
+    xf_fwd: Array  # (I, 16) f32 local->world (shading: vertices)
+    xf_invt: Array  # (I, 16) f32 inverse-transpose 3x3 (shading: normals)
     cluster_size: int = dataclasses.field(metadata=dict(static=True))
+    instanced: bool = dataclasses.field(default=False, metadata=dict(static=True))
 
     @property
     def num_supers(self) -> int:
         return self.rows.shape[0]
+
+    @property
+    def num_entries(self) -> int:
+        return self.super_spheres.shape[0]
 
     @property
     def num_clusters(self) -> int:
@@ -67,8 +90,14 @@ class ClusterSet:
 
     @property
     def num_slots(self) -> int:
-        """Total triangle slots (num_clusters * cluster_size)."""
+        """Total triangle slots (num_entries * SUPER * cluster_size)."""
         return self.num_clusters * self.cluster_size
+
+
+def _identity_xf():
+    ident = np.zeros((1, 16), np.float32)
+    ident[0, 0] = ident[0, 4] = ident[0, 8] = 1.0
+    return ident
 
 
 def _bounds(v0, v1, v2, real_mask):
@@ -107,6 +136,26 @@ def build_clusters(
     bounding volumes). Triangles at index >= num_real are padding and are
     replaced by degenerate never-hit triangles (zero normal => det == 0).
     """
+    tb = _cluster_tables(sorted_v0, sorted_v1, sorted_v2, num_real, cluster_size)
+    ident = _identity_xf()
+    sn = tb["rows"].shape[0]
+    return ClusterSet(
+        rows=jnp.asarray(tb["rows"]),
+        spheres=jnp.asarray(tb["spheres"]),
+        super_spheres=jnp.asarray(tb["super_spheres"]),
+        scene_aabb=jnp.asarray(tb["scene_aabb"]),
+        entry_row=jnp.arange(sn, dtype=jnp.int32),
+        entry_xf=jnp.zeros((sn,), jnp.int32),
+        xf_inv=jnp.asarray(ident),
+        xf_fwd=jnp.asarray(ident),
+        xf_invt=jnp.asarray(ident),
+        cluster_size=int(cluster_size),
+        instanced=False,
+    )
+
+
+def _cluster_tables(sorted_v0, sorted_v1, sorted_v2, num_real, cluster_size):
+    """Numpy table stage shared by the plain and instanced builders."""
     c = int(cluster_size)
     v0 = np.asarray(sorted_v0, np.float64)
     v1 = np.asarray(sorted_v1, np.float64)
@@ -172,10 +221,121 @@ def build_clusters(
     rows = rows.reshape(s, SUPER, STORE_ROWS, c).transpose(0, 2, 1, 3)
     rows = rows.reshape(s, STORE_ROWS, SUPER * c)
 
+    lo6 = np.concatenate([scene_aabb[0:3], scene_aabb[3:6]])
+    return dict(
+        rows=rows, spheres=spheres, super_spheres=super_spheres,
+        scene_aabb=scene_aabb, local_aabb=lo6,
+    )
+
+
+def _entry_tables(tb: dict, transforms: np.ndarray):
+    """World-space per-instance entry tables from local cluster tables.
+
+    transforms: (I, 4, 4) local->world affine matrices. Conservative world
+    bounds: sphere radius scaled by each matrix's largest singular value;
+    half extents by |A|."""
+    xf = np.asarray(transforms, np.float64)
+    i_n = xf.shape[0]
+    a = xf[:, :3, :3]
+    b = xf[:, :3, 3]
+    sigma = np.linalg.svd(a, compute_uv=False)[:, 0]  # (I,)
+
+    def world_spheres(local):  # (G, 8) -> (I*G, 8), instance-major
+        ctr = local[:, 0:3]
+        cw = np.einsum("iab,gb->iga", a, ctr) + b[:, None, :]
+        rw = local[None, :, 3] * sigma[:, None] * (1.0 + 1e-6)
+        hw = np.einsum("iab,gb->iga", np.abs(a), local[:, 4:7])
+        g = local.shape[0]
+        out = np.zeros((i_n * g, 8), np.float32)
+        out[:, 0:3] = cw.reshape(-1, 3)
+        out[:, 3] = rw.reshape(-1)
+        out[:, 4:7] = hw.reshape(-1, 3)
+        return out
+
+    esph = world_spheres(tb["spheres"])
+    esup = world_spheres(tb["super_spheres"])
+
+    # world scene AABB: union of the transformed local-AABB corners
+    lo, hi = tb["local_aabb"][0:3], tb["local_aabb"][3:6]
+    corners = np.array(
+        [[x, y, z] for x in (lo[0], hi[0]) for y in (lo[1], hi[1])
+         for z in (lo[2], hi[2])]
+    )  # (8, 3)
+    wc = np.einsum("iab,gb->iga", a, corners) + b[:, None, :]
+    wlo = wc.reshape(-1, 3).min(axis=0)
+    whi = wc.reshape(-1, 3).max(axis=0)
+    pad_abs = 1e-5 * max(1.0, float(np.abs(np.concatenate([wlo, whi])).max()))
+    aabb = np.zeros(8, np.float32)
+    aabb[0:3] = wlo - pad_abs
+    aabb[3:6] = whi + pad_abs
+
+    a_inv = np.linalg.inv(a)
+    b_inv = -np.einsum("iab,ib->ia", a_inv, b)
+
+    def pack(mat3, trans):
+        out = np.zeros((i_n, 16), np.float32)
+        out[:, 0:9] = mat3.reshape(i_n, 9)
+        if trans is not None:
+            out[:, 9:12] = trans
+        return out
+
+    sn = tb["super_spheres"].shape[0]
+    return dict(
+        spheres=esph,
+        super_spheres=esup,
+        scene_aabb=aabb,
+        entry_row=np.tile(np.arange(sn, dtype=np.int32), i_n),
+        entry_xf=np.repeat(np.arange(i_n, dtype=np.int32), sn),
+        xf_inv=pack(a_inv, b_inv),
+        xf_fwd=pack(a, b),
+        xf_invt=pack(np.linalg.inv(a).transpose(0, 2, 1), None),
+    )
+
+
+def build_instanced_clusters(
+    sorted_v0: np.ndarray,
+    sorted_v1: np.ndarray,
+    sorted_v2: np.ndarray,
+    num_real: int,
+    transforms: np.ndarray,
+    cluster_size: int = 128,
+) -> ClusterSet:
+    """Instanced ClusterSet: geometry stored ONCE (mesh-local BLAS rows),
+    one entry per (instance, supercluster) with world bounds + transform id
+    — the reference's IAS-over-GAS (sutil/Scene.cpp:1071-1150) done the
+    cluster way. Update transforms with `update_instance_transforms` (no
+    geometry rebuild)."""
+    tb = _cluster_tables(sorted_v0, sorted_v1, sorted_v2, num_real, cluster_size)
+    et = _entry_tables(tb, transforms)
     return ClusterSet(
-        rows=jnp.asarray(rows),
-        spheres=jnp.asarray(spheres),
-        super_spheres=jnp.asarray(super_spheres),
-        scene_aabb=jnp.asarray(scene_aabb),
-        cluster_size=c,
+        rows=jnp.asarray(tb["rows"]),
+        spheres=jnp.asarray(et["spheres"]),
+        super_spheres=jnp.asarray(et["super_spheres"]),
+        scene_aabb=jnp.asarray(et["scene_aabb"]),
+        entry_row=jnp.asarray(et["entry_row"]),
+        entry_xf=jnp.asarray(et["entry_xf"]),
+        xf_inv=jnp.asarray(et["xf_inv"]),
+        xf_fwd=jnp.asarray(et["xf_fwd"]),
+        xf_invt=jnp.asarray(et["xf_invt"]),
+        cluster_size=int(cluster_size),
+        instanced=True,
+    )
+
+
+def update_instance_transforms(
+    cs: ClusterSet, local_tables: dict, transforms: np.ndarray
+) -> ClusterSet:
+    """New transforms, SAME geometry: only the small world-bound/transform
+    tables are recomputed and re-uploaded; `rows` (the BLAS) is untouched —
+    this is what makes per-frame rigid animation cheap (the reference
+    rebuilds only its IAS, Scene.cpp:1071)."""
+    et = _entry_tables(local_tables, transforms)
+    return dataclasses.replace(
+        cs,
+        spheres=jnp.asarray(et["spheres"]),
+        super_spheres=jnp.asarray(et["super_spheres"]),
+        scene_aabb=jnp.asarray(et["scene_aabb"]),
+        xf_inv=jnp.asarray(et["xf_inv"]),
+        xf_fwd=jnp.asarray(et["xf_fwd"]),
+        xf_invt=jnp.asarray(et["xf_invt"]),
     )

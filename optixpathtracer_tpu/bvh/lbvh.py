@@ -204,6 +204,10 @@ class BuildResult(NamedTuple):
     order: np.ndarray  # host-side permutation: sorted position -> original tri
     padded_count: int
     depth: int = 0  # binary tree depth in levels (incl. leaf level)
+    # host copies of the tree arrays: downstream host-side builders (wide
+    # BVH collapse) must NEVER round-trip device arrays back to numpy — a
+    # device->host download through the TPU tunnel costs ~35s PER ARRAY
+    host: dict | None = None
 
 
 def build_bvh(
@@ -270,4 +274,5 @@ def build_bvh(
         right_max=vec(rmax),
         leaf_size=leaf_size,
     )
-    return BuildResult(bvh=bvh, order=order, padded_count=pad_to, depth=depth)
+    host = dict(left=left, right=right, lmin=lmin, lmax=lmax, rmin=rmin, rmax=rmax)
+    return BuildResult(bvh=bvh, order=order, padded_count=pad_to, depth=depth, host=host)

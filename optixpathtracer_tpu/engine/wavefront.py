@@ -143,16 +143,52 @@ class SampleOutput(NamedTuple):
 
 
 def _hit_geometry(cs: CompiledScene, rec, ray_dir: Vec3, use_shading: bool):
-    """Fetch per-hit position/normal/albedo inputs (the SBT-record stage)."""
+    """Fetch per-hit position/normal/albedo inputs (the SBT-record stage).
+
+    Instanced scenes (compile_instanced): rec.tri is an ENTRY-slot id —
+    resolve it to (mesh triangle, instance), gather mesh-local geometry,
+    and move vertices (forward affine) / shading normals (inverse-transpose)
+    to world space. This is the per-instance sbtOffset role of the
+    reference's IAS path (Scene.cpp:1080-1093)."""
     scene = cs.scene
+    cl = cs.clusters
+    instanced = cl is not None and cl.instanced
     tri = jnp.maximum(rec.tri, 0)
+    if instanced:
+        slot_w = cl.cluster_size * 8  # SUPER
+        eid = tri // slot_w
+        tri = cl.entry_row[eid] * slot_w + tri % slot_w
+        inst = cl.entry_xf[eid]
+        fwd = cl.xf_fwd[inst]  # (N, 16)
+        invt = cl.xf_invt[inst]
+
+        def to_world(p: Vec3) -> Vec3:
+            return Vec3(
+                fwd[:, 0] * p.x + fwd[:, 1] * p.y + fwd[:, 2] * p.z + fwd[:, 9],
+                fwd[:, 3] * p.x + fwd[:, 4] * p.y + fwd[:, 5] * p.z + fwd[:, 10],
+                fwd[:, 6] * p.x + fwd[:, 7] * p.y + fwd[:, 8] * p.z + fwd[:, 11],
+            )
+
+        def n_to_world(nv: Vec3) -> Vec3:
+            return Vec3(
+                invt[:, 0] * nv.x + invt[:, 1] * nv.y + invt[:, 2] * nv.z,
+                invt[:, 3] * nv.x + invt[:, 4] * nv.y + invt[:, 5] * nv.z,
+                invt[:, 6] * nv.x + invt[:, 7] * nv.y + invt[:, 8] * nv.z,
+            )
+
     v0 = scene.v0.take(tri)
     v1 = scene.v1.take(tri)
     v2 = scene.v2.take(tri)
+    if instanced:
+        v0 = to_world(v0)
+        v1 = to_world(v1)
+        v2 = to_world(v2)
     n_geom = normalize(cross(v1 - v0, v2 - v0))
     if use_shading:
         w0 = 1.0 - rec.u - rec.v
         ns = scene.n0.take(tri) * w0 + scene.n1.take(tri) * rec.u + scene.n2.take(tri) * rec.v
+        if instanced:
+            ns = n_to_world(ns)
         has = scene.has_shading_normal[tri]
         n = normalize(where(has, ns, n_geom))
     else:

@@ -59,10 +59,12 @@ _RING = 4  # sweep-kernel DMA pipeline depth
 
 
 class CullResult(NamedTuple):
-    ids: Array  # (NR, S) int32 super ids, survivors first, near-to-far
-    keys: Array  # (NR, S) f32 sorted distance lower bounds (BIG for misses)
-    bits: Array  # (NR, S) int32 member-cluster bitmask, aligned with ids
-    count: Array  # (NR, 1) int32 number of surviving supers
+    ids: Array  # (NR, E) int32 entry ids, survivors first, near-to-far
+    keys: Array  # (NR, E) f32 sorted distance lower bounds (BIG for misses)
+    bits: Array  # (NR, E) int32 member-cluster bitmask, aligned with ids
+    rowix: Array  # (NR, E) int32 triangle-rows index per entry (BLAS share)
+    xfix: Array  # (NR, E) int32 transform id per entry
+    count: Array  # (NR, 1) int32 number of surviving entries
     rays8: Array  # (NR*B, 8) f32 [o(3), d(3), t_min, t_max]
 
 
@@ -268,24 +270,48 @@ def block_cull(
 
     nr = nb // block
     ids0 = jnp.broadcast_to(jnp.arange(sn, dtype=_I32)[None, :], (nr, sn))
-    keys, ids, bits = jax.lax.sort([key, ids0, bits], num_keys=1)
-    return CullResult(ids=ids, keys=keys, bits=bits, count=count, rays8=rays8)
+    row0 = jnp.broadcast_to(cs.entry_row[None, :], (nr, sn))
+    xf0 = jnp.broadcast_to(cs.entry_xf[None, :], (nr, sn))
+    keys, ids, bits, rowix, xfix = jax.lax.sort(
+        [key, ids0, bits, row0, xf0], num_keys=1
+    )
+    return CullResult(
+        ids=ids, keys=keys, bits=bits, rowix=rowix, xfix=xfix,
+        count=count, rays8=rays8,
+    )
 
 
 # --------------------------------------------------------------------------
 # Stage 2: sweep
 # --------------------------------------------------------------------------
 
-def _mt_block(o3, d3, rows):
+def _xform_ray(o3, d3, xf):
+    """Affine world->instance ray transform (the IAS role).
+
+    xf: (1, 16) row [A row-major 9 | b 3 | pad]. Returns (B,1) component
+    tuples. t is invariant: A(o + t d) + b = (A o + b) + t (A d)."""
+    ox, oy, oz = o3[:, 0:1], o3[:, 1:2], o3[:, 2:3]
+    dx, dy, dz = d3[:, 0:1], d3[:, 1:2], d3[:, 2:3]
+    a = [xf[0:1, i : i + 1] for i in range(12)]
+    lox = a[0] * ox + a[1] * oy + a[2] * oz + a[9]
+    loy = a[3] * ox + a[4] * oy + a[5] * oz + a[10]
+    loz = a[6] * ox + a[7] * oy + a[8] * oz + a[11]
+    ldx = a[0] * dx + a[1] * dy + a[2] * dz
+    ldy = a[3] * dx + a[4] * dy + a[5] * dz
+    ldz = a[6] * dx + a[7] * dy + a[8] * dz
+    return (lox, loy, loz), (ldx, ldy, ldz)
+
+
+def _mt_block(oc, dc, rows):
     """Moller-Trumbore numerators for a (B rays) x (C tris) block.
 
-    o3/d3: (B, 3) slices; rows: (9, C) = [v0 | e1 | e2]. Returns
-    (det, u*det, v*det, t*det), each (B, C), computed entirely as
+    oc/dc: ((B,1),)x3 component tuples; rows: (9, C) = [v0 | e1 | e2].
+    Returns (det, u*det, v*det, t*det), each (B, C), computed entirely as
     broadcasted f32 VPU ops. Derivation: Cramer on [e1 e2 -d] x = o - v0;
     replaces the reference's hardware triangle test behind optixTrace.
     """
-    ox, oy, oz = o3[:, 0:1], o3[:, 1:2], o3[:, 2:3]
-    dx, dy, dz = d3[:, 0:1], d3[:, 1:2], d3[:, 2:3]
+    ox, oy, oz = oc
+    dx, dy, dz = dc
     v0x, v0y, v0z = rows[0:1, :], rows[1:2, :], rows[2:3, :]
     e1x, e1y, e1z = rows[3:4, :], rows[4:5, :], rows[5:6, :]
     e2x, e2y, e2z = rows[6:7, :], rows[7:8, :], rows[8:9, :]
@@ -340,8 +366,8 @@ def _mt_epilogue(det, up, vp, tp, tm, best, bu, bv, btri, cid, c):
 
 
 def _closest_kernel(
-    ids_ref, keys_ref, bits_ref, cnt_ref, rays_ref, rows_hbm,
-    t_ref, u_ref, v_ref, tri_ref,
+    ids_ref, keys_ref, bits_ref, rowix_ref, xfix_ref, cnt_ref, rays_ref,
+    xf_ref, rows_hbm, t_ref, u_ref, v_ref, tri_ref,
     rbuf, sem, acc_t, acc_u, acc_v, acc_tri, *, c: int, s: int, block: int,
 ):
     # 8 ray blocks per grid step (one full SMEM tile of ids/keys/bits/cnt)
@@ -365,7 +391,7 @@ def _closest_kernel(
         def dma(j, r=r):
             slot = jax.lax.rem(j, _RING)
             return pltpu.make_async_copy(
-                rows_hbm.at[ids_ref[r, j]], rbuf.at[slot], sem.at[slot]
+                rows_hbm.at[rowix_ref[r, j]], rbuf.at[slot], sem.at[slot]
             )
 
         # prime the DMA ring
@@ -392,6 +418,9 @@ def _closest_kernel(
             dma(i).wait()
             sid = ids_ref[r, i]
             bitsw = bits_ref[r, i]
+            # instance transform (identity row for non-instanced scenes)
+            xf = xf_ref[pl.ds(xfix_ref[r, i], 1), :]
+            oc, dc = _xform_ray(o3, d3, xf)
             slot = jax.lax.rem(i, _RING)
             rows_super = rbuf[slot]  # (STORE_ROWS, SUPER*C)
 
@@ -401,7 +430,7 @@ def _closest_kernel(
                 @pl.when(jnp.bitwise_and(bitsw, 2 ** k) != 0)
                 def _(k=k):
                     det, up, vp, tp = _mt_block(
-                        o3, d3, rows_super[:, k * c : (k + 1) * c]
+                        oc, dc, rows_super[:, k * c : (k + 1) * c]
                     )
                     nt, nu, nv, ntri = _mt_epilogue(
                         det, up, vp, tp, tm,
@@ -432,8 +461,9 @@ def _closest_kernel(
 
 
 def _any_kernel(
-    ids_ref, keys_ref, bits_ref, cnt_ref, rays_ref, rows_hbm,
-    occ_ref, rbuf, sem, acc_occ, *, c: int, s: int, block: int,
+    ids_ref, keys_ref, bits_ref, rowix_ref, xfix_ref, cnt_ref, rays_ref,
+    xf_ref, rows_hbm, occ_ref, rbuf, sem, acc_occ, *, c: int, s: int,
+    block: int,
 ):
     """Terminate-on-first-hit occlusion sweep (OPTIX_RAY_FLAG_TERMINATE_ON_
     FIRST_HIT role, deviceProgram.cu:198). Same walk as _closest_kernel but
@@ -455,7 +485,7 @@ def _any_kernel(
         def dma(j, r=r):
             slot = jax.lax.rem(j, _RING)
             return pltpu.make_async_copy(
-                rows_hbm.at[ids_ref[r, j]], rbuf.at[slot], sem.at[slot]
+                rows_hbm.at[rowix_ref[r, j]], rbuf.at[slot], sem.at[slot]
             )
 
         for k in range(_RING - 1):
@@ -478,6 +508,8 @@ def _any_kernel(
 
             dma(i).wait()
             bitsw = bits_ref[r, i]
+            xf = xf_ref[pl.ds(xfix_ref[r, i], 1), :]
+            oc, dc = _xform_ray(o3, d3, xf)
             slot = jax.lax.rem(i, _RING)
             rows_super = rbuf[slot]
 
@@ -485,7 +517,7 @@ def _any_kernel(
                 @pl.when(jnp.bitwise_and(bitsw, 2 ** k) != 0)
                 def _(k=k):
                     det, up, vp, tp = _mt_block(
-                        o3, d3, rows_super[:, k * c : (k + 1) * c]
+                        oc, dc, rows_super[:, k * c : (k + 1) * c]
                     )
                     sgn = jnp.where(det >= 0.0, 1.0, -1.0).astype(_F32)
                     ad = det * sgn
@@ -519,23 +551,26 @@ def _any_kernel(
 
 @functools.partial(jax.jit, static_argnames=("block", "interpret", "cluster_size"))
 def _any_pallas(
-    rows, ids, keys, bits, count, rays8, *, block: int, interpret: bool,
-    cluster_size: int,
+    rows, xf_inv, ids, keys, bits, rowix, xfix, count, rays8, *, block: int,
+    interpret: bool, cluster_size: int,
 ):
-    s = rows.shape[0]
+    se = ids.shape[1]
     c = cluster_size
     nr = rays8.shape[0] // block
-    kernel = functools.partial(_any_kernel, c=c, s=s, block=block)
+    kernel = functools.partial(_any_kernel, c=c, s=se, block=block)
     n8 = rays8.shape[0]
     return pl.pallas_call(
         kernel,
         grid=(nr // 8,),
         in_specs=[
-            pl.BlockSpec((8, s), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((8, s), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((8, s), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, se), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, se), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, se), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, se), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, se), lambda i: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((8, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((8 * block, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # xf table (I, 16)
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(
@@ -548,28 +583,31 @@ def _any_pallas(
             pltpu.VMEM((block, 1), _I32),
         ],
         interpret=interpret,
-    )(ids, keys, bits, count, rays8, rows)
+    )(ids, keys, bits, rowix, xfix, count, rays8, xf_inv, rows)
 
 
 @functools.partial(jax.jit, static_argnames=("block", "interpret", "cluster_size"))
 def _closest_pallas(
-    rows, ids, keys, bits, count, rays8, *, block: int, interpret: bool,
-    cluster_size: int,
+    rows, xf_inv, ids, keys, bits, rowix, xfix, count, rays8, *, block: int,
+    interpret: bool, cluster_size: int,
 ):
-    s = rows.shape[0]
+    se = ids.shape[1]  # number of entries (the cull/sort domain)
     c = cluster_size
     nr = rays8.shape[0] // block  # multiple of 8 (block_cull pads)
-    kernel = functools.partial(_closest_kernel, c=c, s=s, block=block)
+    kernel = functools.partial(_closest_kernel, c=c, s=se, block=block)
     n8 = rays8.shape[0]
     outs = pl.pallas_call(
         kernel,
         grid=(nr // 8,),
         in_specs=[
-            pl.BlockSpec((8, s), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((8, s), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((8, s), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, se), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, se), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, se), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, se), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, se), lambda i: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((8, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((8 * block, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # xf table (I, 16)
             # triangle rows must STAY in HBM: the kernel DMAs one super at a
             # time (VMEM placement both overflows at scale and breaks the
             # slice tiling rules)
@@ -596,7 +634,7 @@ def _closest_pallas(
             pltpu.VMEM((block, 1), _I32),
         ],
         interpret=interpret,
-    )(ids, keys, bits, count, rays8, rows)
+    )(ids, keys, bits, rowix, xfix, count, rays8, xf_inv, rows)
     return outs
 
 
@@ -618,7 +656,8 @@ def closest_hit_cluster(
         cs, o, d, t_min, t_max, block, pallas_cull=(False if interpret else None)
     )
     t, u, v, tri = _closest_pallas(
-        cs.rows, cull.ids, cull.keys, cull.bits, cull.count, cull.rays8,
+        cs.rows, cs.xf_inv, cull.ids, cull.keys, cull.bits, cull.rowix,
+        cull.xfix, cull.count, cull.rays8,
         block=block, interpret=interpret, cluster_size=cs.cluster_size,
     )
     t = t[:n, 0]
@@ -653,7 +692,8 @@ def any_hit_cluster(
         cs, o, d, t_min, t_max, block, pallas_cull=(False if interpret else None)
     )
     occ = _any_pallas(
-        cs.rows, cull.ids, cull.keys, cull.bits, cull.count, cull.rays8,
+        cs.rows, cs.xf_inv, cull.ids, cull.keys, cull.bits, cull.rowix,
+        cull.xfix, cull.count, cull.rays8,
         block=block, interpret=interpret, cluster_size=cs.cluster_size,
     )
     return occ[:n, 0] > 0, jnp.zeros((), _F32)
@@ -685,14 +725,17 @@ def reference_closest(
     )
 
     def step(carry, xs):
-        rows, sid = xs
+        rows, xf, eid = xs
         best, bu, bv, btri = carry
-        det, up, vp, tp = _mt_block(o3, d3, rows)
-        return _mt_epilogue(det, up, vp, tp, tm, best, bu, bv, btri, sid, ce), None
+        oc, dc = _xform_ray(o3, d3, xf[None, :])
+        det, up, vp, tp = _mt_block(oc, dc, rows)
+        return _mt_epilogue(det, up, vp, tp, tm, best, bu, bv, btri, eid, ce), None
 
-    s = cs.rows.shape[0]
+    e = cs.entry_row.shape[0]
     (best, bu, bv, btri), _ = jax.lax.scan(
-        step, init, (cs.rows, jnp.arange(s, dtype=_I32))
+        step, init,
+        (cs.rows[cs.entry_row], cs.xf_inv[cs.entry_xf],
+         jnp.arange(e, dtype=_I32)),
     )
     tri = btri[:, 0]
     miss = tri < 0
