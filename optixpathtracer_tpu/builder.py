@@ -20,7 +20,13 @@ from typing import NamedTuple, Optional
 
 import numpy as np
 
-from .bvh.clusters import SUPER, ClusterSet, build_clusters, build_instanced_clusters
+from .bvh.clusters import (
+    SUPER,
+    ClusterSet,
+    build_clusters,
+    build_instanced_clusters,
+    treelet_order,
+)
 from .bvh.lbvh import BVH, build_bvh
 from .bvh.wide import WideBVH, build_wide
 from .core.scene import HostScene, SceneData, device_scene_from_sorted
@@ -70,9 +76,18 @@ def compile_scene(
         # scene arrays are padded to res.padded_count by repeating the last
         # sorted triangle, so every cluster tri id < padded_count maps into
         # the device scene arrays; cluster-level padding beyond that is
-        # degenerate (never hit, never returned)
+        # degenerate (never hit, never returned).
+        # The cluster backend gets its OWN triangle order — a treelet
+        # repacking where every aligned cluster run is spatially tight
+        # (bvh/clusters.treelet_order) — with tri_map translating slot ids
+        # back to scene ids so HitRecord.tri stays backend-interchangeable.
+        ctr = (
+            sv0.astype(np.float64) + sv1.astype(np.float64) + sv2.astype(np.float64)
+        ) / 3.0
+        tp = treelet_order(ctr, cluster_size)
         clusters = build_clusters(
-            sv0, sv1, sv2, num_real=res.padded_count, cluster_size=cluster_size
+            sv0[tp], sv1[tp], sv2[tp], num_real=res.padded_count,
+            cluster_size=cluster_size, tri_map=tp,
         )
     return CompiledScene(
         scene=scene,
@@ -98,15 +113,15 @@ def compile_instanced(
     Traversal: cluster backend only (HitRecord.tri is an ENTRY-slot id;
     engine/wavefront._hit_geometry resolves it to mesh triangle + instance).
     """
-    from .bvh.morton import np_morton_codes
-
     flat = host.flatten()
     v0, v1, v2 = flat["v"]
     t = len(v0)
     slot = SUPER * int(cluster_size)
     pad_to = max(slot, -(-t // slot) * slot)
     ctr = (np.asarray(v0, np.float64) + v1 + v2) / 3.0
-    order = np.argsort(np_morton_codes(ctr), kind="stable")
+    # instanced scenes use the treelet order globally (scene arrays ARE in
+    # cluster-slot order here, so no tri_map indirection is needed)
+    order = treelet_order(ctr, cluster_size)
     if pad_to > t:
         order = np.concatenate([order, np.repeat(order[-1:], pad_to - t)])
     scene = device_scene_from_sorted(flat, order, pad_to)

@@ -112,12 +112,17 @@ class Renderer:
         self.subframe_index = 0
 
     # -- rendering -------------------------------------------------------------
-    def render(self) -> np.ndarray:
+    def render(self, download: bool = True) -> np.ndarray | None:
         """One progressive launch; returns the (H, W, 4) uint8 frame.
 
         With cfg.dispatch_tiles > 1 the frame is traced in that many
         sequential pixel-chunk dispatches (each under the TPU tunnel's
-        per-dispatch deadline; also bounds BFS worklist memory)."""
+        per-dispatch deadline; also bounds BFS worklist memory).
+
+        download=False keeps the frame on device and returns None — the
+        progressive-loop mode (the reference's render() also leaves pixels
+        on the GPU; downloadPixels is a separate call). Use
+        download_pixels() to fetch the latest frame when needed."""
         t0 = time.perf_counter()
         cam = CameraParams.from_camera(self.camera)
         tiles = max(1, self.config.dispatch_tiles)
@@ -157,7 +162,7 @@ class Renderer:
         self.subframe_index += 1
         self._frame_u8 = frame
         self._frame_times.append(time.perf_counter() - t0)
-        return self.download_pixels()
+        return self.download_pixels() if download else None
 
     def render_n(self, n: int) -> np.ndarray:
         for _ in range(n):

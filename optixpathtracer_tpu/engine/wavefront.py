@@ -106,6 +106,16 @@ class RenderConfig:
     unroll: bool = False  # unroll the (statically-bounded) spp and bounce
     #   loops into straight-line XLA instead of fori_loops — larger programs
     #   and compiles, but removes loop-carry traffic.
+    sort_rays: bool = False  # reorder the path wavefront by a spatial
+    #   coherence key (dead-bit | origin Morton cell | direction octant |
+    #   direction fine bits) before every bounce's traversal. The cluster
+    #   backend culls per 128-ray BLOCK, so block coherence decides how many
+    #   superclusters each sweep visits (camera-tile blocks visit ~19 of 147
+    #   on the bench scene; random blocks visit all — PERF_NOTES.md). Dead
+    #   rays sort to the back, so their blocks retire in one step: this is
+    #   live-ray compaction without dynamic shapes. Results are bit-identical
+    #   (order is restored at sample end); costs one small sort + one
+    #   gather of the path state per bounce.
 
 
 class CameraParams(NamedTuple):
@@ -256,6 +266,63 @@ def _closest_hit(cs, cfg, o, d, t_min, t_max):
 
 def _any_hit(cs, cfg, o, d, t_min, t_max):
     return _any_hit2(cs, cfg, o, d, t_min, t_max)[0]
+
+
+def _spread3(x: Array) -> Array:
+    """Spread the low 10 bits of x so consecutive bits land 3 apart."""
+    x = x & jnp.uint32(0x3FF)
+    x = (x | (x << 16)) & jnp.uint32(0x030000FF)
+    x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
+    x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
+    x = (x | (x << 2)) & jnp.uint32(0x09249249)
+    return x
+
+
+def _coherence_key(o: Vec3, d: Vec3, done: Array, aabb: Array) -> Array:
+    """Spatial sort key for ray-stream coherence (uint32, ascending = good
+    block order): dead(1) | direction octant(3) | origin Morton 18 (6
+    bits/axis over the scene AABB) | direction-magnitude Morton (top 10).
+
+    Octant-major measured best on bounce wavefronts (the per-ray candidate
+    set is the ray's whole line support, so direction sign dominates which
+    clusters it can reach); within an octant, rays group by origin cell.
+    Camera rays (shared origin, equal octant|origin key) keep their incoming
+    pixel-tile order — lax.sort is stable."""
+
+    def q6(a, lo, hi):
+        s = 64.0 / jnp.maximum(hi - lo, 1e-6)
+        return jnp.clip((a - lo) * s, 0.0, 63.0).astype(jnp.uint32)
+
+    om = (
+        _spread3(q6(o.x, aabb[0], aabb[3]))
+        | (_spread3(q6(o.y, aabb[1], aabb[4])) << 1)
+        | (_spread3(q6(o.z, aabb[2], aabb[5])) << 2)
+    )
+    oct_ = (
+        (d.x < 0).astype(jnp.uint32) * 4
+        + (d.y < 0).astype(jnp.uint32) * 2
+        + (d.z < 0).astype(jnp.uint32)
+    )
+
+    def qd(a):
+        return jnp.clip(jnp.abs(a) * 16.0, 0.0, 15.0).astype(jnp.uint32)
+
+    dm = _spread3(qd(d.x)) | (_spread3(qd(d.y)) << 1) | (_spread3(qd(d.z)) << 2)
+    return (
+        done.astype(jnp.uint32) * jnp.uint32(1 << 31)
+        | (oct_ << 28)
+        | (om << 10)
+        | (dm >> 2)
+    )
+
+
+def _permute_path(path: dict, perm: Array) -> dict:
+    """Gather every per-ray leaf of the path state by perm (scalars ride)."""
+    scalars = ("rays", "ovf")
+    return {
+        k: (v if k in scalars else jax.tree.map(lambda a: a[perm], v))
+        for k, v in path.items()
+    }
 
 
 def _nee_sample(cs, probe, cfg, p, n, wo, mat, albedo, eta_i, eta_o, state):
@@ -427,6 +494,11 @@ def trace_wavefront(
             # it with area pdfs are meaningless and must be forced to 1
             prev_delta=zf > 1.0,
         )
+        sorting = cfg.sort_rays and cs.clusters is not None
+        if sorting:
+            # original lane index, so the sample's outputs can be restored to
+            # caller order after the bounce loop reorders the wavefront
+            path["idx"] = jnp.arange(n, dtype=jnp.uint32) + (zf * 0).astype(jnp.uint32)
         if cfg.fused_shadows:
             path.update(
                 sh_o=o,
@@ -437,6 +509,14 @@ def trace_wavefront(
             )
 
         def bounce_body(depth, path):
+            if sorting:
+                key = _coherence_key(
+                    path["o"], path["d"], path["done"], cs.clusters.scene_aabb
+                )
+                _, perm = jax.lax.sort(
+                    [key, jnp.arange(n, dtype=jnp.uint32)], num_keys=1
+                )
+                path = _permute_path(path, perm)
             # past max_depth the loop only flushes the last pending shadow
             active = ~path["done"] & (depth <= cfg.max_depth)
             t_max = jnp.where(active, cfg.t_max, 0.0)
@@ -651,6 +731,8 @@ def trace_wavefront(
                 ),
             )
             out.update(pend)
+            if sorting:
+                out["idx"] = path["idx"]
             return out
 
         # fused mode needs one extra iteration to flush the last shadow rays
@@ -660,6 +742,27 @@ def trace_wavefront(
                 path = bounce_body(jnp.int32(_depth), path)
         else:
             path = jax.lax.fori_loop(0, n_bounce_iters, bounce_body, path)
+
+        if sorting:
+            # restore caller lane order: sort the sample's outputs by the
+            # carried original index (unique, so this is an exact inverse)
+            restored = jax.lax.sort(
+                [
+                    path["idx"],
+                    path["radiance"].x, path["radiance"].y, path["radiance"].z,
+                    path["alpha"].x, path["alpha"].y, path["alpha"].z,
+                    path["normal"].x, path["normal"].y, path["normal"].z,
+                    path["albedo"].x, path["albedo"].y, path["albedo"].z,
+                ],
+                num_keys=1,
+            )
+            path = dict(
+                path,
+                radiance=Vec3(*restored[1:4]),
+                alpha=Vec3(*restored[4:7]),
+                normal=Vec3(*restored[7:10]),
+                albedo=Vec3(*restored[10:13]),
+            )
 
         return (
             acc_color + path["radiance"],

@@ -663,6 +663,8 @@ def closest_hit_cluster(
     t = t[:n, 0]
     tri = tri[:n, 0]
     miss = tri < 0
+    if cs.tri_map is not None:  # slot id -> scene triangle id
+        tri = cs.tri_map[jnp.maximum(tri, 0)]
     return HitRecord(
         t=jnp.where(miss, jnp.float32(BIG_T), t),
         tri=jnp.where(miss, -1, tri),
@@ -739,6 +741,8 @@ def reference_closest(
     )
     tri = btri[:, 0]
     miss = tri < 0
+    if cs.tri_map is not None:  # slot id -> scene triangle id
+        tri = cs.tri_map[jnp.maximum(tri, 0)]
     return HitRecord(
         t=jnp.where(miss, jnp.float32(BIG_T), best[:, 0]),
         tri=jnp.where(miss, -1, tri),

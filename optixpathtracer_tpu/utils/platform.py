@@ -37,4 +37,6 @@ def auto_tune(cfg: RenderConfig, num_triangles: int | None = None) -> RenderConf
         return dataclasses.replace(cfg, traversal="lockstep", dispatch_tiles=1)
     rays = cfg.width * cfg.height
     tiles = max(1, rays // TPU_DISPATCH_RAYS)
-    return dataclasses.replace(cfg, traversal="cluster", dispatch_tiles=tiles)
+    return dataclasses.replace(
+        cfg, traversal="cluster", dispatch_tiles=tiles, sort_rays=True
+    )

@@ -164,3 +164,26 @@ def test_stats_structure():
     r.render()
     s = r.stats()
     assert s["frames"] == 1 and s["fps"] > 0 and s["total_spp"] == 2
+
+
+def test_sort_rays_bit_identical():
+    """Ray-stream coherence sorting (cfg.sort_rays) must not change a single
+    bit of the output: it permutes the wavefront before each bounce's
+    traversal and restores caller order afterwards, and every per-ray op is
+    order-independent."""
+    cs = _box_scene()
+    probe = _uniform_probe()
+    base = dict(width=48, height=32, spp=2, max_depth=3, traversal="cluster")
+    f_plain = _renderer(cs, probe, **base).render()
+    f_sorted = _renderer(cs, probe, sort_rays=True, **base).render()
+    np.testing.assert_array_equal(f_plain, f_sorted)
+
+
+def test_sort_rays_bit_identical_fused():
+    cs = _box_scene()
+    probe = _uniform_probe()
+    base = dict(width=48, height=32, spp=1, max_depth=2, traversal="cluster",
+                fused_shadows=True)
+    f_plain = _renderer(cs, probe, **base).render()
+    f_sorted = _renderer(cs, probe, sort_rays=True, **base).render()
+    np.testing.assert_array_equal(f_plain, f_sorted)
