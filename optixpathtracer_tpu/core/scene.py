@@ -105,10 +105,27 @@ class SceneData(NamedTuple):
     has_shading_normal: Array  # (N,) bool
     materials: MaterialTable
     textures: TexturePool
+    shade_rows: Array | None = None  # (N, 32) f32 packed per-triangle shade
+    #   record: [v0|v1|v2 (9), n0|n1|n2 (9), uv0|uv1|uv2 (6), mat_id,
+    #   has_sn, pad(6)]. The hit-shading stage gathers THIS — one wide-row
+    #   gather instead of ~25 narrow ones (the SBT-record fetch, done at
+    #   full gather bandwidth; see PERF_NOTES.md round-2 wall table).
 
     @property
     def num_triangles(self) -> int:
         return self.material_id.shape[0]
+
+    def take_shade(self, tri: Array):
+        """One-gather fetch of the per-hit shade record. Returns
+        (v0, v1, v2, n0, n1, n2, (uv0u, uv0v, uv1u, uv1v, uv2u, uv2v),
+        mat_id, has_sn)."""
+        r = self.shade_rows[tri]  # (N, 32)
+        v3 = lambda c: Vec3(r[..., c], r[..., c + 1], r[..., c + 2])
+        uv = tuple(r[..., 18 + k] for k in range(6))
+        return (
+            v3(0), v3(3), v3(6), v3(9), v3(12), v3(15), uv,
+            r[..., 24].astype(jnp.int32), r[..., 25] > 0.5,
+        )
 
     def geometric_normal(self, tri: Array) -> Vec3:
         from . import math as m
@@ -289,7 +306,21 @@ def device_scene_from_sorted(flat: dict, order: np.ndarray, pad_to: int) -> Scen
     def v3(a):
         return Vec3(jnp.asarray(a[:, 0]), jnp.asarray(a[:, 1]), jnp.asarray(a[:, 2]))
 
+    shade = np.zeros((pad_to, 32), np.float32)
+    shade[:, 0:3] = v[0]
+    shade[:, 3:6] = v[1]
+    shade[:, 6:9] = v[2]
+    shade[:, 9:12] = n[0]
+    shade[:, 12:15] = n[1]
+    shade[:, 15:18] = n[2]
+    shade[:, 18:20] = uv[0]
+    shade[:, 20:22] = uv[1]
+    shade[:, 22:24] = uv[2]
+    shade[:, 24] = mat
+    shade[:, 25] = hs
+
     return SceneData(
+        shade_rows=jnp.asarray(shade),
         v0=v3(v[0]),
         v1=v3(v[1]),
         v2=v3(v[2]),

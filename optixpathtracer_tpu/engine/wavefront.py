@@ -186,9 +186,20 @@ def _hit_geometry(cs: CompiledScene, rec, ray_dir: Vec3, use_shading: bool):
                 invt[:, 6] * nv.x + invt[:, 7] * nv.y + invt[:, 8] * nv.z,
             )
 
-    v0 = scene.v0.take(tri)
-    v1 = scene.v1.take(tri)
-    v2 = scene.v2.take(tri)
+    if scene.shade_rows is not None:
+        # ONE wide-row gather for the whole shade record (SBT fetch)
+        v0, v1, v2, sn0, sn1, sn2, uv6, mat_id, has = scene.take_shade(tri)
+        uv0u, uv0v, uv1u, uv1v, uv2u, uv2v = uv6
+    else:
+        v0 = scene.v0.take(tri)
+        v1 = scene.v1.take(tri)
+        v2 = scene.v2.take(tri)
+        sn0, sn1, sn2 = scene.n0.take(tri), scene.n1.take(tri), scene.n2.take(tri)
+        uv0u, uv0v = scene.uv0u[tri], scene.uv0v[tri]
+        uv1u, uv1v = scene.uv1u[tri], scene.uv1v[tri]
+        uv2u, uv2v = scene.uv2u[tri], scene.uv2v[tri]
+        mat_id = scene.material_id[tri]
+        has = scene.has_shading_normal[tri]
     if instanced:
         v0 = to_world(v0)
         v1 = to_world(v1)
@@ -196,22 +207,20 @@ def _hit_geometry(cs: CompiledScene, rec, ray_dir: Vec3, use_shading: bool):
     n_geom = normalize(cross(v1 - v0, v2 - v0))
     if use_shading:
         w0 = 1.0 - rec.u - rec.v
-        ns = scene.n0.take(tri) * w0 + scene.n1.take(tri) * rec.u + scene.n2.take(tri) * rec.v
+        ns = sn0 * w0 + sn1 * rec.u + sn2 * rec.v
         if instanced:
             ns = n_to_world(ns)
-        has = scene.has_shading_normal[tri]
         n = normalize(where(has, ns, n_geom))
     else:
         n = n_geom
     # faceforward against the incoming ray (deviceProgram.cu:492)
     n = faceforward(n, -ray_dir, n)
 
-    mat_id = scene.material_id[tri]
     mat = scene.materials.take(mat_id)
 
     w0 = 1.0 - rec.u - rec.v
-    tu = scene.uv0u[tri] * w0 + scene.uv1u[tri] * rec.u + scene.uv2u[tri] * rec.v
-    tv = scene.uv0v[tri] * w0 + scene.uv1v[tri] * rec.u + scene.uv2v[tri] * rec.v
+    tu = uv0u * w0 + uv1u * rec.u + uv2u * rec.v
+    tv = uv0v * w0 + uv1v * rec.u + uv2v * rec.v
     tex = scene.textures.sample_bilinear(mat.texture_id, tu, tv)
     albedo = where(mat.texture_id >= 0, tex, mat.color)
     return n, mat, albedo
@@ -316,13 +325,19 @@ def _coherence_key(o: Vec3, d: Vec3, done: Array, aabb: Array) -> Array:
     )
 
 
-def _permute_path(path: dict, perm: Array) -> dict:
-    """Gather every per-ray leaf of the path state by perm (scalars ride)."""
+def _sort_path(path: dict, key: Array) -> dict:
+    """Reorder every per-ray leaf of the path state by ascending key.
+
+    ONE variadic lax.sort carrying all leaves as payload — measured ~10x
+    cheaper than argsort + per-array gathers (narrow 4-byte-row gathers run
+    at ~1.4 GB/s on TPU; the variadic sort moves the same payload at full
+    bandwidth — PERF_NOTES.md round-1 wall table)."""
     scalars = ("rays", "ovf")
-    return {
-        k: (v if k in scalars else jax.tree.map(lambda a: a[perm], v))
-        for k, v in path.items()
-    }
+    moving = {k: v for k, v in path.items() if k not in scalars}
+    leaves, treedef = jax.tree.flatten(moving)
+    out = jax.lax.sort([key, *leaves], num_keys=1)
+    moved = jax.tree.unflatten(treedef, out[1:])
+    return {**{k: path[k] for k in scalars if k in path}, **moved}
 
 
 def _nee_sample(cs, probe, cfg, p, n, wo, mat, albedo, eta_i, eta_o, state):
@@ -513,10 +528,7 @@ def trace_wavefront(
                 key = _coherence_key(
                     path["o"], path["d"], path["done"], cs.clusters.scene_aabb
                 )
-                _, perm = jax.lax.sort(
-                    [key, jnp.arange(n, dtype=jnp.uint32)], num_keys=1
-                )
-                path = _permute_path(path, perm)
+                path = _sort_path(path, key)
             # past max_depth the loop only flushes the last pending shadow
             active = ~path["done"] & (depth <= cfg.max_depth)
             t_max = jnp.where(active, cfg.t_max, 0.0)
