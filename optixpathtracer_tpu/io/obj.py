@@ -63,8 +63,27 @@ def _parse_index(token: str, nv: int, nt: int, nn: int) -> tuple[int, int, int]:
 
 
 def save_obj(path: str, scene: HostScene) -> None:
-    """Write a HostScene back to OBJ+MTL (test fixtures / interchange)."""
+    """Write a HostScene back to OBJ+MTL (test fixtures / interchange).
+
+    Textures referenced by mesh materials are written as PNGs next to the
+    MTL and declared with map_Kd, so textured scenes round-trip through
+    load_obj (which reads map_Kd + stb-style y-flip, like Model.cpp:88-135).
+    """
     mtl_path = os.path.splitext(path)[0] + ".mtl"
+    stem = os.path.splitext(os.path.basename(path))[0]
+    tex_files: dict[int, str] = {}
+    for mesh in scene.meshes:
+        tid = int(mesh.material.get("texture_id", -1))
+        if tid >= 0 and tid not in tex_files:
+            from .image import save_png
+
+            tex_name = f"{stem}_tex{tid}.png"
+            # stored row 0 = bottom (load_image flips); write top-first
+            save_png(
+                os.path.join(os.path.dirname(os.path.abspath(path)), tex_name),
+                scene.textures[tid][::-1],
+            )
+            tex_files[tid] = tex_name
     with open(mtl_path, "w") as mf, open(path, "w") as f:
         f.write(f"mtllib {os.path.basename(mtl_path)}\n")
         base = 1
@@ -75,6 +94,9 @@ def save_obj(path: str, scene: HostScene) -> None:
             c = mesh.material["color"]
             e = mesh.material["emission"]
             mf.write(f"newmtl {name}\nKd {c[0]} {c[1]} {c[2]}\nKe {e[0]} {e[1]} {e[2]}\n")
+            tid = int(mesh.material.get("texture_id", -1))
+            if tid >= 0:
+                mf.write(f"map_Kd {tex_files[tid]}\n")
             f.write(f"o mesh{i}\nusemtl {name}\n")
             for v in mesh.vertices:
                 f.write(f"v {v[0]} {v[1]} {v[2]}\n")
