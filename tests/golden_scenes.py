@@ -184,6 +184,22 @@ def render_gltf():
     return r.accum_image()
 
 
+def render_loft(frames=2):
+    """Textured closed interior (scenes/loft.obj): exercises texture
+    sampling, shading normals and emissive-geometry lighting at once."""
+    from optixpathtracer_tpu.engine.renderer import Renderer
+    from optixpathtracer_tpu.io.obj import load_obj
+
+    cs = compile_scene(load_obj("scenes/loft.obj"))
+    probe = build_probe(np.full((8, 16, 3), 0.0, np.float32) + 1e-6)
+    cfg = RenderConfig(width=W, height=H, samples_per_launch=4, max_depth=3,
+                       traversal="lockstep", emission_all_bounces=True,
+                       use_shading_normals=True)
+    r = Renderer(cs, probe, cfg, _cam((-5.2, 2.4, 3.2), (2.0, 1.2, -1.0)))
+    r.render_n(frames)
+    return r.accum_image()
+
+
 GOLDENS = {
     "disney_open": render_disney_open,
     "disney_cornell": render_disney_cornell,
@@ -192,4 +208,5 @@ GOLDENS = {
     "spectral": render_spectral,
     "foveated": render_foveated,
     "gltf": render_gltf,
+    "loft": render_loft,
 }
