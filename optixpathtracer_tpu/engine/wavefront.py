@@ -325,18 +325,56 @@ def _coherence_key(o: Vec3, d: Vec3, done: Array, aabb: Array) -> Array:
     )
 
 
-def _sort_path(path: dict, key: Array) -> dict:
-    """Reorder every per-ray leaf of the path state by ascending key.
+def _pack_u32(leaves: list[Array]) -> Array:
+    """Bit-pack same-shape (N,) leaves of mixed dtype into one (N, F) u32
+    matrix (bools widen exactly; f32/i32 bitcast — bytes move, no math)."""
+    cols = []
+    for l in leaves:
+        if l.dtype == jnp.bool_:
+            cols.append(l.astype(jnp.uint32))
+        elif l.dtype in (jnp.uint32, jnp.int32):
+            cols.append(jax.lax.bitcast_convert_type(l, jnp.uint32))
+        else:
+            cols.append(jax.lax.bitcast_convert_type(l.astype(jnp.float32), jnp.uint32))
+    return jnp.stack(cols, axis=1)
 
-    ONE variadic lax.sort carrying all leaves as payload — measured ~10x
-    cheaper than argsort + per-array gathers (narrow 4-byte-row gathers run
-    at ~1.4 GB/s on TPU; the variadic sort moves the same payload at full
-    bandwidth — PERF_NOTES.md round-1 wall table)."""
+
+def _unpack_u32(packed: Array, protos: list[Array]) -> list[Array]:
+    out = []
+    for i, p in enumerate(protos):
+        col = packed[:, i]
+        if p.dtype == jnp.bool_:
+            out.append(col != 0)
+        elif p.dtype in (jnp.uint32, jnp.int32):
+            out.append(jax.lax.bitcast_convert_type(col, p.dtype))
+        else:
+            out.append(jax.lax.bitcast_convert_type(col, jnp.float32).astype(p.dtype))
+    return out
+
+
+def permute_packed(leaves: list[Array], perm: Array) -> list[Array]:
+    """Apply one permutation to many (N,) arrays via a single WIDE-ROW
+    gather of the bit-packed (N, F) u32 matrix.
+
+    Per-array narrow gathers run at ~1.4 GB/s on TPU and a wide variadic
+    lax.sort (~40 payload operands) hangs the TPU compiler — the packed
+    row gather moves the same bytes at full gather bandwidth (same trick
+    as SceneData.shade_rows; PERF_NOTES.md round-2)."""
+    packed = _pack_u32(leaves)
+    return _unpack_u32(packed[perm], leaves)
+
+
+def _sort_path(path: dict, key: Array) -> dict:
+    """Reorder every per-ray leaf of the path state by ascending key:
+    ONE (key, iota) sort for the permutation + ONE packed-row gather."""
     scalars = ("rays", "ovf")
     moving = {k: v for k, v in path.items() if k not in scalars}
     leaves, treedef = jax.tree.flatten(moving)
-    out = jax.lax.sort([key, *leaves], num_keys=1)
-    moved = jax.tree.unflatten(treedef, out[1:])
+    n = key.shape[0]
+    _, perm = jax.lax.sort(
+        [key, jax.lax.iota(jnp.uint32, n)], num_keys=1
+    )
+    moved = jax.tree.unflatten(treedef, permute_packed(leaves, perm))
     return {**{k: path[k] for k in scalars if k in path}, **moved}
 
 
@@ -756,24 +794,24 @@ def trace_wavefront(
             path = jax.lax.fori_loop(0, n_bounce_iters, bounce_body, path)
 
         if sorting:
-            # restore caller lane order: sort the sample's outputs by the
-            # carried original index (unique, so this is an exact inverse)
-            restored = jax.lax.sort(
-                [
-                    path["idx"],
-                    path["radiance"].x, path["radiance"].y, path["radiance"].z,
-                    path["alpha"].x, path["alpha"].y, path["alpha"].z,
-                    path["normal"].x, path["normal"].y, path["normal"].z,
-                    path["albedo"].x, path["albedo"].y, path["albedo"].z,
-                ],
-                num_keys=1,
+            # restore caller lane order: sort (idx, iota) for the inverse
+            # permutation (idx is unique), then one packed-row gather
+            _, inv = jax.lax.sort(
+                [path["idx"], jax.lax.iota(jnp.uint32, n)], num_keys=1
             )
+            outs = [
+                path["radiance"].x, path["radiance"].y, path["radiance"].z,
+                path["alpha"].x, path["alpha"].y, path["alpha"].z,
+                path["normal"].x, path["normal"].y, path["normal"].z,
+                path["albedo"].x, path["albedo"].y, path["albedo"].z,
+            ]
+            restored = permute_packed(outs, inv)
             path = dict(
                 path,
-                radiance=Vec3(*restored[1:4]),
-                alpha=Vec3(*restored[4:7]),
-                normal=Vec3(*restored[7:10]),
-                albedo=Vec3(*restored[10:13]),
+                radiance=Vec3(*restored[0:3]),
+                alpha=Vec3(*restored[3:6]),
+                normal=Vec3(*restored[6:9]),
+                albedo=Vec3(*restored[9:12]),
             )
 
         return (
