@@ -128,6 +128,10 @@ def main():
         width=width, height=height, samples_per_launch=spp, max_depth=4,
         traversal="lockstep" if on_cpu else "cluster",
         dispatch_tiles=1 if small else 4,
+        # measured-best flag set (PERF_NOTES round-2): ray-stream sorting on;
+        # fused_shadows measured a LOSS (the combined closest sweep forfeits
+        # the any-hit kernel's first-hit exit); batch_spp neutral at this size
+        sort_rays=not on_cpu,
     )
     cam = Camera(
         eye=(55.0, 18.0, 55.0), lookat=(0.0, 2.0, 0.0), up=(0, 1, 0), fov_y=45,
