@@ -56,12 +56,24 @@ _F32 = jnp.float32
 DEFAULT_BLOCK = 128
 _BIG = 3.0e37  # python float: safe to close over in kernels
 _RING = 4  # sweep-kernel DMA pipeline depth
+_GMAX_STRIDE = 4  # refresh the early-exit bound every N visits (each refresh
+#   is a VPU->scalar sync feeding the walk's loop condition; a stale bound is
+#   merely conservative)
+SWEEP_GROUPS = 1  # ray-block gate granularity: the sweep kernels test member
+#   clusters per GROUP of block/SWEEP_GROUPS consecutive (sorted) rays and
+#   evaluate (block/groups, C) M-T blocks only for flagged groups. Finer
+#   groups cut pair evals (2.7x at 8 groups on sorted bounce rays) but add
+#   scalar branches per visit; measured NEVER winning at bench scale (the
+#   per-visit wall is the early-exit scalar sync, not VPU compute) - keep 1.
 
 
 class CullResult(NamedTuple):
     ids: Array  # (NR, E) int32 entry ids, survivors first, near-to-far
     keys: Array  # (NR, E) f32 sorted distance lower bounds (BIG for misses)
-    bits: Array  # (NR, E) int32 member-cluster bitmask, aligned with ids
+    bits_lo: Array  # (NR, E) int32 member masks of ray sub-blocks 0-3:
+    #   member k of sub-block s at bit (s%4)*8 + k (the sweep kernels gate
+    #   M-T evaluation per (B/8-ray sub-block, member cluster))
+    bits_hi: Array  # (NR, E) int32 same for sub-blocks 4-7
     rowix: Array  # (NR, E) int32 triangle-rows index per entry (BLAS share)
     xfix: Array  # (NR, E) int32 transform id per entry
     count: Array  # (NR, 1) int32 number of surviving entries
@@ -88,7 +100,7 @@ def _cull_math(o3, d3, tm, tM, alive_any, sph_t):
     PER-CLUSTER sphere table [qx | qy | qz | r | ...] in MEMBER-MAJOR column
     order (cluster (sid, k) at column k*S + sid, so each member k occupies
     one contiguous (1, S) slice). Returns (key (1, S) f32 with BIG for culled
-    supers, bits (1, S) i32 member bitmask, count () i32).
+    supers, lo/hi (1, S) u32 per-sub-block member bitmasks, count () i32).
 
     Per ray (unit direction u, geometric reach R = t_max*|d|) vs cluster
     sphere (q, r): candidate iff the infinite line passes within r of q
@@ -141,17 +153,34 @@ def _cull_math(o3, d3, tm, tM, alive_any, sph_t):
     # [k*S:(k+1)*S], so the per-super reduction is slicing, not reshapes
     sn = ckey.shape[1] // SUPER
     key = ckey[:, 0:sn]
-    bits = mask[:, 0:sn].astype(_I32)
     for k in range(1, SUPER):
-        sl = slice(k * sn, (k + 1) * sn)
-        key = jnp.minimum(key, ckey[:, sl])
-        bits = bits + mask[:, sl].astype(_I32) * (2 ** k)
-    key = jnp.where(bits > 0, key, _BIG)
-    count = jnp.sum((bits > 0).astype(_I32))
-    return key, bits, count
+        key = jnp.minimum(key, ckey[:, k * sn : (k + 1) * sn])
+
+    # SUB-BLOCK member masks: the sweep kernels evaluate Moller-Trumbore per
+    # (sub-block of B/8 rays, member cluster), so the gate is per sub-block,
+    # not per whole block — measured 2.7x fewer pair evals on sorted bounce
+    # rays (PERF_NOTES.md block-size sweep). Bit layout: member k of
+    # sub-block s lives at bit (s%4)*8 + k of lo (s<4) / hi (s>=4).
+    b = hit.shape[0]
+    sb = b // 8
+    lo = jnp.zeros_like(key, jnp.uint32)
+    hi = jnp.zeros_like(key, jnp.uint32)
+    for s8 in range(8):
+        mask_s = jnp.any(hit[s8 * sb : (s8 + 1) * sb], axis=0, keepdims=True)
+        bits_s = mask_s[:, 0:sn].astype(jnp.uint32)
+        for k in range(1, SUPER):
+            bits_s = bits_s + mask_s[:, k * sn : (k + 1) * sn].astype(jnp.uint32) * (2 ** k)
+        if s8 < 4:
+            lo = lo + (bits_s << (8 * s8))
+        else:
+            hi = hi + (bits_s << (8 * (s8 - 4)))
+    any_bits = (lo | hi) != 0
+    key = jnp.where(any_bits, key, _BIG)
+    count = jnp.sum(any_bits.astype(_I32))
+    return key, lo, hi, count
 
 
-def _cull_kernel(rays_ref, sph_ref, key_ref, bits_ref, cnt_ref, *, block: int):
+def _cull_kernel(rays_ref, sph_ref, key_ref, lo_ref, hi_ref, cnt_ref, *, block: int):
     # 8 ray blocks per grid step (one full SMEM/out tile) to amortize the
     # per-step pipeline overhead (~30us/step measured)
     for r in range(8):
@@ -161,9 +190,10 @@ def _cull_kernel(rays_ref, sph_ref, key_ref, bits_ref, cnt_ref, *, block: int):
         tm = rays_ref[sl, 6:7]
         tM = rays_ref[sl, 7:8]
         alive_any = jnp.max((tM > tm).astype(_F32)) > 0.0
-        key, bits, count = _cull_math(o3, d3, tm, tM, alive_any, sph_ref[:, :])
+        key, lo, hi, count = _cull_math(o3, d3, tm, tM, alive_any, sph_ref[:, :])
         key_ref[r : r + 1, :] = key
-        bits_ref[r : r + 1, :] = bits
+        lo_ref[r : r + 1, :] = lo
+        hi_ref[r : r + 1, :] = hi
         cnt_ref[r, 0] = count
 
 
@@ -172,7 +202,7 @@ def _cull_pallas(rays8, sph_t, *, block: int, interpret: bool):
     m = sph_t.shape[1]
     s = m // SUPER
     nr = rays8.shape[0] // block  # multiple of 8 (block_cull pads)
-    keys, bits, count = pl.pallas_call(
+    keys, lo, hi, count = pl.pallas_call(
         functools.partial(_cull_kernel, block=block),
         grid=(nr // 8,),
         in_specs=[
@@ -182,16 +212,18 @@ def _cull_pallas(rays8, sph_t, *, block: int, interpret: bool):
         out_specs=[
             pl.BlockSpec((8, s), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, s), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, s), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((nr, s), _F32),
-            jax.ShapeDtypeStruct((nr, s), _I32),
+            jax.ShapeDtypeStruct((nr, s), jnp.uint32),
+            jax.ShapeDtypeStruct((nr, s), jnp.uint32),
             jax.ShapeDtypeStruct((nr, 1), _I32),
         ],
         interpret=interpret,
     )(rays8, sph_t)
-    return keys, bits, count
+    return keys, lo, hi, count
 
 
 def _cull_xla(rays8, sph_t, *, block: int):
@@ -200,13 +232,13 @@ def _cull_xla(rays8, sph_t, *, block: int):
     rb8 = rays8.reshape(nr, block, 8)
     alive = rb8[:, :, 7:8] > rb8[:, :, 6:7]
     alive_any = jnp.any(alive, axis=1, keepdims=True)  # (NR, 1, 1)
-    key, bits, count = jax.vmap(
+    key, lo, hi, count = jax.vmap(
         lambda o3, d3, tm, tM, aa: _cull_math(o3, d3, tm, tM, aa, sph_t)
     )(
         rb8[:, :, 0:3], rb8[:, :, 3:6], rb8[:, :, 6:7], rb8[:, :, 7:8],
         alive_any[:, 0],
     )
-    return key[:, 0, :], bits[:, 0, :], count[:, None]
+    return key[:, 0, :], lo[:, 0, :], hi[:, 0, :], count[:, None]
 
 
 def block_cull(
@@ -264,19 +296,19 @@ def block_cull(
     if pallas_cull is None:
         pallas_cull = jax.default_backend() == "tpu"
     if pallas_cull:
-        key, bits, count = _cull_pallas(rays8, sph_t, block=block, interpret=False)
+        key, lo, hi, count = _cull_pallas(rays8, sph_t, block=block, interpret=False)
     else:
-        key, bits, count = _cull_xla(rays8, sph_t, block=block)
+        key, lo, hi, count = _cull_xla(rays8, sph_t, block=block)
 
     nr = nb // block
     ids0 = jnp.broadcast_to(jnp.arange(sn, dtype=_I32)[None, :], (nr, sn))
     row0 = jnp.broadcast_to(cs.entry_row[None, :], (nr, sn))
     xf0 = jnp.broadcast_to(cs.entry_xf[None, :], (nr, sn))
-    keys, ids, bits, rowix, xfix = jax.lax.sort(
-        [key, ids0, bits, row0, xf0], num_keys=1
+    keys, ids, lo, hi, rowix, xfix = jax.lax.sort(
+        [key, ids0, lo, hi, row0, xf0], num_keys=1
     )
     return CullResult(
-        ids=ids, keys=keys, bits=bits, rowix=rowix, xfix=xfix,
+        ids=ids, keys=keys, bits_lo=lo, bits_hi=hi, rowix=rowix, xfix=xfix,
         count=count, rays8=rays8,
     )
 
@@ -366,9 +398,10 @@ def _mt_epilogue(det, up, vp, tp, tm, best, bu, bv, btri, cid, c):
 
 
 def _closest_kernel(
-    ids_ref, keys_ref, bits_ref, rowix_ref, xfix_ref, cnt_ref, rays_ref,
+    ids_ref, keys_ref, lo_ref, hi_ref, rowix_ref, xfix_ref, cnt_ref, rays_ref,
     xf_ref, rows_hbm, t_ref, u_ref, v_ref, tri_ref,
     rbuf, sem, acc_t, acc_u, acc_v, acc_tri, *, c: int, s: int, block: int,
+    groups: int,
 ):
     # 8 ray blocks per grid step (one full SMEM tile of ids/keys/bits/cnt)
     # to amortize the per-step pipeline overhead (~30us/step measured)
@@ -417,32 +450,61 @@ def _closest_kernel(
 
             dma(i).wait()
             sid = ids_ref[r, i]
-            bitsw = bits_ref[r, i]
+            lo_w = lo_ref[r, i]
+            hi_w = hi_ref[r, i]
             # instance transform (identity row for non-instanced scenes)
             xf = xf_ref[pl.ds(xfix_ref[r, i], 1), :]
             oc, dc = _xform_ray(o3, d3, xf)
             slot = jax.lax.rem(i, _RING)
             rows_super = rbuf[slot]  # (STORE_ROWS, SUPER*C)
 
+            # the cull decided per (16-ray sub-block, member cluster)
+            # whether ANY ray can hit; the kernel gates per GROUP of
+            # consecutive sub-blocks (groups static; 1 == whole block) and
+            # evaluates an (block/groups, C) M-T block per flagged group —
+            # compute scales with flagged groups, not whole-block unions
+            gsz = 8 // groups
+            rows_g = block // groups
             for k in range(SUPER):
-                # the cull already decided per member cluster whether ANY ray
-                # in this block can hit it; the gate is one scalar bit test
-                @pl.when(jnp.bitwise_and(bitsw, 2 ** k) != 0)
-                def _(k=k):
-                    det, up, vp, tp = _mt_block(
-                        oc, dc, rows_super[:, k * c : (k + 1) * c]
-                    )
-                    nt, nu, nv, ntri = _mt_epilogue(
-                        det, up, vp, tp, tm,
-                        acc_t[:, :], acc_u[:, :], acc_v[:, :], acc_tri[:, :],
-                        sid * SUPER + k, c,
-                    )
-                    acc_t[:, :] = nt
-                    acc_u[:, :] = nu
-                    acc_v[:, :] = nv
-                    acc_tri[:, :] = ntri
+                for g in range(groups):
+                    subs = range(g * gsz, (g + 1) * gsz)
+                    mlo = sum(1 << (s * 8 + k) for s in subs if s < 4)
+                    mhi = sum(1 << ((s - 4) * 8 + k) for s in subs if s >= 4)
+                    acc = jnp.uint32(0)
+                    if mlo:
+                        acc = acc | jnp.bitwise_and(lo_w, jnp.uint32(mlo))
+                    if mhi:
+                        acc = acc | jnp.bitwise_and(hi_w, jnp.uint32(mhi))
+                    gate = acc != 0
+                    rsl = slice(g * rows_g, (g + 1) * rows_g)
 
-            gmax = jnp.max(jnp.minimum(acc_t[:, :] * dlen, _BIG))
+                    @pl.when(gate)
+                    def _(k=k, rsl=rsl):
+                        det, up, vp, tp = _mt_block(
+                            tuple(x[rsl] for x in oc),
+                            tuple(x[rsl] for x in dc),
+                            rows_super[:, k * c : (k + 1) * c],
+                        )
+                        nt, nu, nv, ntri = _mt_epilogue(
+                            det, up, vp, tp, tm[rsl],
+                            acc_t[rsl, :], acc_u[rsl, :], acc_v[rsl, :],
+                            acc_tri[rsl, :],
+                            sid * SUPER + k, c,
+                        )
+                        acc_t[rsl, :] = nt
+                        acc_u[rsl, :] = nu
+                        acc_v[rsl, :] = nv
+                        acc_tri[rsl, :] = ntri
+
+            # refreshing the early-exit bound costs a VPU->scalar sync (the
+            # reduce feeds the loop condition), so do it every _GMAX_STRIDE
+            # visits only — a stale (larger) bound is conservative: the walk
+            # exits a little later, never wrongly
+            gmax = jax.lax.cond(
+                jax.lax.rem(i, _GMAX_STRIDE) == _GMAX_STRIDE - 1,
+                lambda: jnp.max(jnp.minimum(acc_t[:, :] * dlen, _BIG)),
+                lambda: gmax,
+            )
             return i + 1, gmax
 
         i_f, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), gmax0))
@@ -461,9 +523,9 @@ def _closest_kernel(
 
 
 def _any_kernel(
-    ids_ref, keys_ref, bits_ref, rowix_ref, xfix_ref, cnt_ref, rays_ref,
+    ids_ref, keys_ref, lo_ref, hi_ref, rowix_ref, xfix_ref, cnt_ref, rays_ref,
     xf_ref, rows_hbm, occ_ref, rbuf, sem, acc_occ, *, c: int, s: int,
-    block: int,
+    block: int, groups: int,
 ):
     """Terminate-on-first-hit occlusion sweep (OPTIX_RAY_FLAG_TERMINATE_ON_
     FIRST_HIT role, deviceProgram.cu:198). Same walk as _closest_kernel but
@@ -507,36 +569,61 @@ def _any_kernel(
                 dma(i + (_RING - 1)).start()
 
             dma(i).wait()
-            bitsw = bits_ref[r, i]
+            lo_w = lo_ref[r, i]
+            hi_w = hi_ref[r, i]
             xf = xf_ref[pl.ds(xfix_ref[r, i], 1), :]
             oc, dc = _xform_ray(o3, d3, xf)
             slot = jax.lax.rem(i, _RING)
             rows_super = rbuf[slot]
 
+            gsz = 8 // groups
+            rows_g = block // groups
             for k in range(SUPER):
-                @pl.when(jnp.bitwise_and(bitsw, 2 ** k) != 0)
-                def _(k=k):
-                    det, up, vp, tp = _mt_block(
-                        oc, dc, rows_super[:, k * c : (k + 1) * c]
-                    )
-                    sgn = jnp.where(det >= 0.0, 1.0, -1.0).astype(_F32)
-                    ad = det * sgn
-                    us = up * sgn
-                    vs = vp * sgn
-                    ts = tp * sgn
-                    pos = ad > 0.0
-                    invd = jnp.where(pos, 1.0 / jnp.where(pos, ad, 1.0), 0.0)
-                    t = ts * invd
-                    hit = (
-                        pos & (us >= 0.0) & (vs >= 0.0) & (us + vs <= ad)
-                        & (t > tm) & (t < tM)
-                    )
-                    anyh = jnp.any(hit, axis=1, keepdims=True)
-                    acc_occ[:, :] = acc_occ[:, :] | anyh.astype(_I32)
+                for g in range(groups):
+                    subs = range(g * gsz, (g + 1) * gsz)
+                    mlo = sum(1 << (s * 8 + k) for s in subs if s < 4)
+                    mhi = sum(1 << ((s - 4) * 8 + k) for s in subs if s >= 4)
+                    acc = jnp.uint32(0)
+                    if mlo:
+                        acc = acc | jnp.bitwise_and(lo_w, jnp.uint32(mlo))
+                    if mhi:
+                        acc = acc | jnp.bitwise_and(hi_w, jnp.uint32(mhi))
+                    gate = acc != 0
+                    rsl = slice(g * rows_g, (g + 1) * rows_g)
 
-            # occluded rays stop constraining the walk
-            live_reach = jnp.where(acc_occ[:, :] > 0, 0.0, reach)
-            gmax = jnp.max(jnp.minimum(live_reach, _BIG))
+                    @pl.when(gate)
+                    def _(k=k, rsl=rsl):
+                        det, up, vp, tp = _mt_block(
+                            tuple(x[rsl] for x in oc),
+                            tuple(x[rsl] for x in dc),
+                            rows_super[:, k * c : (k + 1) * c],
+                        )
+                        sgn = jnp.where(det >= 0.0, 1.0, -1.0).astype(_F32)
+                        ad = det * sgn
+                        us = up * sgn
+                        vs = vp * sgn
+                        ts = tp * sgn
+                        pos = ad > 0.0
+                        invd = jnp.where(pos, 1.0 / jnp.where(pos, ad, 1.0), 0.0)
+                        t = ts * invd
+                        hit = (
+                            pos & (us >= 0.0) & (vs >= 0.0) & (us + vs <= ad)
+                            & (t > tm[rsl]) & (t < tM[rsl])
+                        )
+                        anyh = jnp.any(hit, axis=1, keepdims=True)
+                        acc_occ[rsl, :] = acc_occ[rsl, :] | anyh.astype(_I32)
+
+            # occluded rays stop constraining the walk; refreshing the bound
+            # is a VPU->scalar sync, so amortize it over _GMAX_STRIDE visits
+            gmax = jax.lax.cond(
+                jax.lax.rem(i, _GMAX_STRIDE) == _GMAX_STRIDE - 1,
+                lambda: jnp.max(
+                    jnp.minimum(
+                        jnp.where(acc_occ[:, :] > 0, 0.0, reach), _BIG
+                    )
+                ),
+                lambda: gmax,
+            )
             return i + 1, gmax
 
         i_f, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), gmax0))
@@ -549,20 +636,25 @@ def _any_kernel(
         occ_ref[sl, :] = acc_occ[:, :]
 
 
-@functools.partial(jax.jit, static_argnames=("block", "interpret", "cluster_size"))
+@functools.partial(
+    jax.jit, static_argnames=("block", "interpret", "cluster_size", "groups")
+)
 def _any_pallas(
-    rows, xf_inv, ids, keys, bits, rowix, xfix, count, rays8, *, block: int,
-    interpret: bool, cluster_size: int,
+    rows, xf_inv, ids, keys, lo, hi, rowix, xfix, count, rays8, *, block: int,
+    interpret: bool, cluster_size: int, groups: int,
 ):
     se = ids.shape[1]
     c = cluster_size
     nr = rays8.shape[0] // block
-    kernel = functools.partial(_any_kernel, c=c, s=se, block=block)
+    kernel = functools.partial(
+        _any_kernel, c=c, s=se, block=block, groups=groups
+    )
     n8 = rays8.shape[0]
     return pl.pallas_call(
         kernel,
         grid=(nr // 8,),
         in_specs=[
+            pl.BlockSpec((8, se), lambda i: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((8, se), lambda i: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((8, se), lambda i: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((8, se), lambda i: (i, 0), memory_space=pltpu.SMEM),
@@ -583,23 +675,28 @@ def _any_pallas(
             pltpu.VMEM((block, 1), _I32),
         ],
         interpret=interpret,
-    )(ids, keys, bits, rowix, xfix, count, rays8, xf_inv, rows)
+    )(ids, keys, lo, hi, rowix, xfix, count, rays8, xf_inv, rows)
 
 
-@functools.partial(jax.jit, static_argnames=("block", "interpret", "cluster_size"))
+@functools.partial(
+    jax.jit, static_argnames=("block", "interpret", "cluster_size", "groups")
+)
 def _closest_pallas(
-    rows, xf_inv, ids, keys, bits, rowix, xfix, count, rays8, *, block: int,
-    interpret: bool, cluster_size: int,
+    rows, xf_inv, ids, keys, lo, hi, rowix, xfix, count, rays8, *, block: int,
+    interpret: bool, cluster_size: int, groups: int,
 ):
     se = ids.shape[1]  # number of entries (the cull/sort domain)
     c = cluster_size
     nr = rays8.shape[0] // block  # multiple of 8 (block_cull pads)
-    kernel = functools.partial(_closest_kernel, c=c, s=se, block=block)
+    kernel = functools.partial(
+        _closest_kernel, c=c, s=se, block=block, groups=groups
+    )
     n8 = rays8.shape[0]
     outs = pl.pallas_call(
         kernel,
         grid=(nr // 8,),
         in_specs=[
+            pl.BlockSpec((8, se), lambda i: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((8, se), lambda i: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((8, se), lambda i: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((8, se), lambda i: (i, 0), memory_space=pltpu.SMEM),
@@ -634,7 +731,7 @@ def _closest_pallas(
             pltpu.VMEM((block, 1), _I32),
         ],
         interpret=interpret,
-    )(ids, keys, bits, rowix, xfix, count, rays8, xf_inv, rows)
+    )(ids, keys, lo, hi, rowix, xfix, count, rays8, xf_inv, rows)
     return outs
 
 
@@ -646,6 +743,7 @@ def closest_hit_cluster(
     t_max: Array | float = 1e16,
     block: int = DEFAULT_BLOCK,
     interpret: bool | None = None,
+    groups: int | None = None,
 ) -> HitRecord:
     """Exact closest-hit for a ray wavefront (cluster backend)."""
     if interpret is None:
@@ -656,9 +754,10 @@ def closest_hit_cluster(
         cs, o, d, t_min, t_max, block, pallas_cull=(False if interpret else None)
     )
     t, u, v, tri = _closest_pallas(
-        cs.rows, cs.xf_inv, cull.ids, cull.keys, cull.bits, cull.rowix,
-        cull.xfix, cull.count, cull.rays8,
+        cs.rows, cs.xf_inv, cull.ids, cull.keys, cull.bits_lo, cull.bits_hi,
+        cull.rowix, cull.xfix, cull.count, cull.rays8,
         block=block, interpret=interpret, cluster_size=cs.cluster_size,
+        groups=1 if interpret else (groups or SWEEP_GROUPS),
     )
     t = t[:n, 0]
     tri = tri[:n, 0]
@@ -681,6 +780,7 @@ def any_hit_cluster(
     t_max: Array | float = 1e16,
     block: int = DEFAULT_BLOCK,
     interpret: bool | None = None,
+    groups: int | None = None,
 ) -> tuple[Array, Array]:
     """Occlusion query: (occluded (N,), overflow scalar == 0 always).
 
@@ -694,9 +794,10 @@ def any_hit_cluster(
         cs, o, d, t_min, t_max, block, pallas_cull=(False if interpret else None)
     )
     occ = _any_pallas(
-        cs.rows, cs.xf_inv, cull.ids, cull.keys, cull.bits, cull.rowix,
-        cull.xfix, cull.count, cull.rays8,
+        cs.rows, cs.xf_inv, cull.ids, cull.keys, cull.bits_lo, cull.bits_hi,
+        cull.rowix, cull.xfix, cull.count, cull.rays8,
         block=block, interpret=interpret, cluster_size=cs.cluster_size,
+        groups=1 if interpret else (groups or SWEEP_GROUPS),
     )
     return occ[:n, 0] > 0, jnp.zeros((), _F32)
 
