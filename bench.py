@@ -112,7 +112,11 @@ def main():
 
     hs = build_city_scene(n_boxes=n_boxes)
     t0 = time.perf_counter()
-    cs = compile_scene(hs, leaf_size=8, wide_width=8, build_wide_bvh=False)
+    # cluster_size 256: fatter (128, 256) M-T evals amortize the per-eval
+    # issue overhead (measured: 64 is 1.5x worse, 256 ~4% better than 128)
+    cs = compile_scene(
+        hs, leaf_size=8, wide_width=8, build_wide_bvh=False, cluster_size=256
+    )
     build_s = time.perf_counter() - t0
 
     # sky probe with a sun
