@@ -140,14 +140,19 @@ def probe_sample_texel(
 ) -> tuple[RngState, Vec3, Vec3, Array, Array, Array]:
     """probe_sample that also returns the chosen (row, col) texel (for tests)."""
     state, r1, r2 = randf2(state)
-    # lower_bound == searchsorted(side='left')
-    row = jnp.searchsorted(p.cdf_y, r1, side="left").astype(jnp.int32)
+    # lower_bound == searchsorted(side='left') == count of cdf entries < r.
+    # A batched dense compare+sum beats binary search on TPU: searchsorted
+    # lowers to a log(W) while-loop of narrow per-ray gathers (measured
+    # 48 ms/dispatch, the single hottest shade fusion — PERF_NOTES.md);
+    # the (N, H)+(N, W) compare runs at full VPU bandwidth (<1 ms).
+    row = jnp.sum(
+        p.cdf_y < r1[..., None], axis=-1, dtype=jnp.int32
+    )
     row = jnp.clip(row, 0, p.height - 1)
 
-    # per-row column search: vectorized searchsorted over gathered rows
-    rows_cdf = p.cdf_x[row]  # (N, W) gather of full rows
-    col = jax.vmap(lambda cdf, x: jnp.searchsorted(cdf, x, side="left"))(rows_cdf, r2)
-    col = jnp.clip(col, 0, p.width - 1).astype(jnp.int32)
+    rows_cdf = p.cdf_x[row]  # (N, W) wide-row gather
+    col = jnp.sum(rows_cdf < r2[..., None], axis=-1, dtype=jnp.int32)
+    col = jnp.clip(col, 0, p.width - 1)
 
     color = Vec3(p.r[row, col], p.g[row, col], p.b[row, col])
     pdf = p.pdf_x[row, col] * p.pdf_y[row]
