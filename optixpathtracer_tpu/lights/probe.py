@@ -37,6 +37,10 @@ class Probe(NamedTuple):
     pdf_y: Array  # (H,) marginal pdf of row
     cdf_y: Array  # (H,) inclusive cdf
     offset: Vec3  # world-space warp offset (Probe.h:15, unused by the apps)
+    rgbp: Array | None = None  # (H*W, 4) wide rows [r, g, b, joint pdf
+    #   pdf_x*pdf_y] — texel lookups gather THIS (one wide-row gather runs at
+    #   full gather bandwidth; four separate narrow gathers run at ~1.4 GB/s
+    #   on TPU — PERF_NOTES.md)
 
     @property
     def width(self) -> int:
@@ -82,6 +86,10 @@ def build_probe(
     cdf_y = jnp.cumsum(col_weight) / total
 
     off = np.asarray(offset, np.float32)
+    joint = pdf_x * pdf_y[:, None]  # (H, W) texel pdf over the 2D table
+    rgbp = jnp.stack(
+        [r.reshape(-1), g.reshape(-1), b.reshape(-1), joint.reshape(-1)], axis=1
+    )
     return Probe(
         r=r,
         g=g,
@@ -91,6 +99,7 @@ def build_probe(
         pdf_y=pdf_y,
         cdf_y=cdf_y,
         offset=Vec3(jnp.float32(off[0]), jnp.float32(off[1]), jnp.float32(off[2])),
+        rgbp=rgbp,
     )
 
 
@@ -116,7 +125,10 @@ def probe_eval(p: Probe, u: Array, v: Array) -> Vec3:
     """Nearest-texel radiance lookup (ProbeEval, Probe.cuh:61-67)."""
     x = jnp.clip((u * p.width).astype(jnp.int32), 0, p.width - 1)
     y = jnp.clip((v * p.height).astype(jnp.int32), 0, p.height - 1)
-    return Vec3(p.r[y, x], p.g[y, x], p.b[y, x])
+    if p.rgbp is None:
+        return Vec3(p.r[y, x], p.g[y, x], p.b[y, x])
+    row = p.rgbp[y * p.width + x]  # ONE wide-row gather
+    return Vec3(row[..., 0], row[..., 1], row[..., 2])
 
 
 def probe_eval_dir(p: Probe, d: Vec3) -> Vec3:
@@ -129,7 +141,10 @@ def probe_pdf(p: Probe, d: Vec3) -> Array:
     u, v = dir_to_uv(d)
     col = jnp.clip((u * p.width).astype(jnp.int32), 0, p.width - 1)
     row = jnp.clip((v * p.height).astype(jnp.int32), 0, p.height - 1)
-    pdf = p.pdf_x[row, col] * p.pdf_y[row]
+    if p.rgbp is None:
+        pdf = p.pdf_x[row, col] * p.pdf_y[row]
+    else:
+        pdf = p.rgbp[row * p.width + col][..., 3]
     sin_theta = jnp.sin(v * PI)
     scale = p.width * p.height / (2.0 * PI * PI * jnp.maximum(jnp.abs(sin_theta), 1e-8))
     return jnp.where(jnp.abs(sin_theta) < 1e-4, 0.0, pdf * scale)
@@ -150,12 +165,20 @@ def probe_sample_texel(
     )
     row = jnp.clip(row, 0, p.height - 1)
 
-    rows_cdf = p.cdf_x[row]  # (N, W) wide-row gather
+    # optimization_barrier keeps the row gather OUT of the compare fusion:
+    # fused, XLA lowers it to per-element loads (~1.5 GB/s measured); as a
+    # standalone bulk gather the (N, W) rows move at full gather bandwidth
+    rows_cdf = jax.lax.optimization_barrier(p.cdf_x[row])  # (N, W)
     col = jnp.sum(rows_cdf < r2[..., None], axis=-1, dtype=jnp.int32)
     col = jnp.clip(col, 0, p.width - 1)
 
-    color = Vec3(p.r[row, col], p.g[row, col], p.b[row, col])
-    pdf = p.pdf_x[row, col] * p.pdf_y[row]
+    if p.rgbp is None:
+        color = Vec3(p.r[row, col], p.g[row, col], p.b[row, col])
+        pdf = p.pdf_x[row, col] * p.pdf_y[row]
+    else:
+        texel = jax.lax.optimization_barrier(p.rgbp[row * p.width + col])
+        color = Vec3(texel[..., 0], texel[..., 1], texel[..., 2])
+        pdf = texel[..., 3]
 
     u = col.astype(jnp.float32) / p.width
     v = row.astype(jnp.float32) / p.height
