@@ -56,7 +56,9 @@ class MaterialTable(NamedTuple):
         """Gather per-hit material rows (the SBT-record fetch equivalent)."""
         if self.rows is None:
             return jax.tree.map(lambda a: a[idx], self)
-        r = self.rows[idx]  # (N, 24) — ONE gather
+        # barrier: keep the bulk row gather OUT of the consumer fusion —
+        # fused, XLA lowers it to per-element loads (PERF_NOTES.md)
+        r = jax.lax.optimization_barrier(self.rows[idx])  # (N, 24) — ONE gather
         v3 = lambda c: Vec3(r[..., c], r[..., c + 1], r[..., c + 2])
         return MaterialTable(
             color=v3(0), emission=v3(3), absorption=v3(6),

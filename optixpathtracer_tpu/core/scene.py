@@ -119,7 +119,9 @@ class SceneData(NamedTuple):
         """One-gather fetch of the per-hit shade record. Returns
         (v0, v1, v2, n0, n1, n2, (uv0u, uv0v, uv1u, uv1v, uv2u, uv2v),
         mat_id, has_sn)."""
-        r = self.shade_rows[tri]  # (N, 32)
+        # barrier: keep the bulk row gather out of the consumer fusion
+        # (fused, XLA lowers it to per-element loads — PERF_NOTES.md)
+        r = jax.lax.optimization_barrier(self.shade_rows[tri])  # (N, 32)
         v3 = lambda c: Vec3(r[..., c], r[..., c + 1], r[..., c + 2])
         uv = tuple(r[..., 18 + k] for k in range(6))
         return (

@@ -361,7 +361,13 @@ def permute_packed(leaves: list[Array], perm: Array) -> list[Array]:
     row gather moves the same bytes at full gather bandwidth (same trick
     as SceneData.shade_rows; PERF_NOTES.md round-2)."""
     packed = _pack_u32(leaves)
-    return _unpack_u32(packed[perm], leaves)
+    # barrier on both sides: the pack (a stack relayout) and the bulk row
+    # gather must not fuse with element-wise neighbors, or XLA lowers the
+    # gather to per-element loads (PERF_NOTES.md)
+    moved = jax.lax.optimization_barrier(
+        jax.lax.optimization_barrier(packed)[perm]
+    )
+    return _unpack_u32(moved, leaves)
 
 
 def _sort_path(path: dict, key: Array) -> dict:
