@@ -20,6 +20,7 @@ from ..engine.renderer import Renderer
 from ..engine.spectral import SpectralRenderer
 from ..engine.wavefront import RenderConfig
 from ..lights.probe import Probe
+from ..utils.platform import auto_tune
 from .hello_raytracing import HelloConfig, HelloRenderer
 from .whitted import WhittedRenderer, make_renderer as make_whitted_renderer
 
@@ -48,6 +49,8 @@ def make_disney_pt_renderer(
         width=width, height=height, samples_per_launch=spp, max_depth=max_depth,
         **overrides,
     )
+    if "traversal" not in overrides:  # platform-appropriate backend
+        cfg = auto_tune(cfg, cs.num_triangles)
     return Renderer(cs, probe, cfg, camera)
 
 
@@ -60,6 +63,8 @@ def make_spectral_renderer(
         width=width, height=height, samples_per_launch=spp, max_depth=max_depth,
         **overrides,
     )
+    if "traversal" not in overrides:
+        cfg = auto_tune(cfg, cs.num_triangles)
     return SpectralRenderer(cs, probe, cfg, camera)
 
 
@@ -71,6 +76,8 @@ def make_foveated_renderer(
     """Config 5: sv4 VMV'23 — 3-zone foveation at 3840x2160, depth 4,
     radii 157/515, zone spp 1/2/8 (SimplePathtracer.cpp:20-21,135-215)."""
     cfg = RenderConfig(width=width, height=height, max_depth=max_depth, **overrides)
+    if "traversal" not in overrides:
+        cfg = auto_tune(cfg, cs.num_triangles)
     return FoveatedRenderer(cs, probe, cfg, camera, foveation or FoveationConfig())
 
 

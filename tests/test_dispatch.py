@@ -70,3 +70,41 @@ def test_presets_do_not_hardwire_backends():
         src = (PKG / rel).read_text()
         for b in banned:
             assert b not in src, f"{rel} hardwires a traversal backend ({b})"
+
+
+def test_wavefront_presets_auto_tune(monkeypatch):
+    """Round-2 regression: the disney/spectral/foveated presets must route
+    their RenderConfig through auto_tune (round-1 left cfg.traversal at the
+    'lockstep' default, which faults/stalls on TPU)."""
+    import numpy as np
+
+    from optixpathtracer_tpu import models
+    from optixpathtracer_tpu.builder import compile_scene
+    from optixpathtracer_tpu.core.camera import Camera
+    from optixpathtracer_tpu.core.materials import make_material
+    from optixpathtracer_tpu.core.scene import HostScene
+    from optixpathtracer_tpu.lights.probe import build_probe
+    from optixpathtracer_tpu.utils import platform
+
+    monkeypatch.setattr(platform, "on_tpu", lambda: True)
+
+    hs = HostScene()
+    hs.add_box(make_material(), pos=(0, 0, 0), extent=(1, 1, 1))
+    cs = compile_scene(hs)
+    probe = build_probe(np.full((8, 16, 3), 0.5, np.float32))
+    cam = Camera()
+
+    r = models.make_disney_pt_renderer(cs, probe, cam, width=64, height=48, spp=1)
+    assert r.config.traversal == "cluster" and r.config.sort_rays
+
+    rs = models.make_spectral_renderer(cs, probe, cam, width=64, height=48, spp=1)
+    assert rs.config.traversal == "cluster"
+
+    rf = models.make_foveated_renderer(cs, probe, cam, width=64, height=48)
+    assert rf.config.traversal == "cluster"
+
+    # explicit override wins
+    r2 = models.make_disney_pt_renderer(
+        cs, probe, cam, width=64, height=48, spp=1, traversal="lockstep"
+    )
+    assert r2.config.traversal == "lockstep"
