@@ -263,27 +263,10 @@ def _cluster_tables(sorted_v0, sorted_v1, sorted_v2, num_real, cluster_size):
     scene_aabb[0:3] = slo - pad_abs
     scene_aabb[3:6] = shi + pad_abs
 
-    # Triple-product triangle records (PERF_NOTES.md round-2): every
-    # Moller-Trumbore term is a scalar triple product, so with per-triangle
-    # precomputed vectors the kernel needs no (B, C) cross products at all:
-    #   det = -d.n          n  = e1 x e2
-    #   up  =  m.e2 - d.c2  c2 = e2 x v0,  m = o x d (per ray)
-    #   vp  = -(m.e1 + d.c1) c1 = v0 x e1
-    #   tp  =  o.n - s0     s0 = v0 . n
-    # 16 floats/tri fills the STORE_ROWS=16 padding exactly — no extra DMA.
-    # Conditioning note: the Plucker form subtracts O(|o|*|e|) products, so
-    # precision degrades for origins far from the scene; at bundled-scene
-    # scale the absolute t error (~|o| * 2^-23) stays ~100x below t_min.
-    e1 = cv1 - cv0
-    e2 = cv2 - cv0
-    nrm = np.cross(e1, e2)
     rows = np.zeros((m_pad, STORE_ROWS, c), np.float32)
-    rows[:, 0:3, :] = nrm.transpose(0, 2, 1)
-    rows[:, 3:6, :] = e1.transpose(0, 2, 1)
-    rows[:, 6:9, :] = e2.transpose(0, 2, 1)
-    rows[:, 9:12, :] = np.cross(cv0, e1).transpose(0, 2, 1)
-    rows[:, 12:15, :] = np.cross(e2, cv0).transpose(0, 2, 1)
-    rows[:, 15, :] = np.einsum("mck,mck->mc", cv0, nrm)
+    rows[:, 0:3, :] = cv0.transpose(0, 2, 1)
+    rows[:, 3:6, :] = (cv1 - cv0).transpose(0, 2, 1)
+    rows[:, 6:9, :] = (cv2 - cv0).transpose(0, 2, 1)
     # group SUPER consecutive clusters' columns into one DMA-able row block
     rows = rows.reshape(s, SUPER, STORE_ROWS, c).transpose(0, 2, 1, 3)
     rows = rows.reshape(s, STORE_ROWS, SUPER * c)

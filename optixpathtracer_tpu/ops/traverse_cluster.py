@@ -337,31 +337,32 @@ def _xform_ray(o3, d3, xf):
 def _mt_block(oc, dc, rows):
     """Moller-Trumbore numerators for a (B rays) x (C tris) block.
 
-    oc/dc: ((B,1),)x3 component tuples; rows: (16, C) triple-product records
-    [n | e1 | e2 | c1=v0 x e1 | c2=e2 x v0 | s0=v0.n] (bvh/clusters.py).
-    Returns (det, u*det, v*det, t*det), each (B, C). Every M-T term is a
-    scalar triple product, so with the precomputed per-triangle vectors the
-    whole block needs NO (B, C) cross products — only dot products against
-    the ray's (o, d, m=o x d): 35 broadcasted VPU ops vs 41, and no (B, C)
-    p/q temporaries. Replaces the reference's hardware triangle test behind
-    optixTrace (deviceProgram.cu:165-204).
+    oc/dc: ((B,1),)x3 component tuples; rows: (9, C) = [v0 | e1 | e2].
+    Returns (det, u*det, v*det, t*det), each (B, C), computed entirely as
+    broadcasted f32 VPU ops. Derivation: Cramer on [e1 e2 -d] x = o - v0;
+    replaces the reference's hardware triangle test behind optixTrace.
     """
     ox, oy, oz = oc
     dx, dy, dz = dc
-    # ray moment m = o x d  ((B,1) ops, amortized over all C columns)
-    mx = oy * dz - oz * dy
-    my = oz * dx - ox * dz
-    mz = ox * dy - oy * dx
-    nx, ny, nz = rows[0:1, :], rows[1:2, :], rows[2:3, :]
+    v0x, v0y, v0z = rows[0:1, :], rows[1:2, :], rows[2:3, :]
     e1x, e1y, e1z = rows[3:4, :], rows[4:5, :], rows[5:6, :]
     e2x, e2y, e2z = rows[6:7, :], rows[7:8, :], rows[8:9, :]
-    c1x, c1y, c1z = rows[9:10, :], rows[10:11, :], rows[11:12, :]
-    c2x, c2y, c2z = rows[12:13, :], rows[13:14, :], rows[14:15, :]
-    s0 = rows[15:16, :]
-    det = -(dx * nx + dy * ny + dz * nz)
-    up = (mx * e2x + my * e2y + mz * e2z) - (dx * c2x + dy * c2y + dz * c2z)
-    vp = -((mx * e1x + my * e1y + mz * e1z) + (dx * c1x + dy * c1y + dz * c1z))
-    tp = (ox * nx + oy * ny + oz * nz) - s0
+    # p = d x e2                                    (B, C)
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    # T = o - v0
+    tx = ox - v0x
+    ty = oy - v0y
+    tz = oz - v0z
+    up = tx * px + ty * py + tz * pz
+    # q = T x e1
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    vp = dx * qx + dy * qy + dz * qz
+    tp = e2x * qx + e2y * qy + e2z * qz
     return det, up, vp, tp
 
 
