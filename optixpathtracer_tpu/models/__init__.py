@@ -50,7 +50,8 @@ def make_disney_pt_renderer(
         **overrides,
     )
     if "traversal" not in overrides:  # platform-appropriate backend
-        cfg = auto_tune(cfg, cs.num_triangles)
+        # explicit overrides always win over auto_tune's choices
+        cfg = dataclasses.replace(auto_tune(cfg, cs.num_triangles), **overrides)
     return Renderer(cs, probe, cfg, camera)
 
 
@@ -64,7 +65,7 @@ def make_spectral_renderer(
         **overrides,
     )
     if "traversal" not in overrides:
-        cfg = auto_tune(cfg, cs.num_triangles)
+        cfg = dataclasses.replace(auto_tune(cfg, cs.num_triangles), **overrides)
     return SpectralRenderer(cs, probe, cfg, camera)
 
 
@@ -77,7 +78,7 @@ def make_foveated_renderer(
     radii 157/515, zone spp 1/2/8 (SimplePathtracer.cpp:20-21,135-215)."""
     cfg = RenderConfig(width=width, height=height, max_depth=max_depth, **overrides)
     if "traversal" not in overrides:
-        cfg = auto_tune(cfg, cs.num_triangles)
+        cfg = dataclasses.replace(auto_tune(cfg, cs.num_triangles), **overrides)
     return FoveatedRenderer(cs, probe, cfg, camera, foveation or FoveationConfig())
 
 

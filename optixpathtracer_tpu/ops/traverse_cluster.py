@@ -253,6 +253,11 @@ def block_cull(
     """Stage 1: per-ray sphere tests OR-reduced per ray block, then one sort
     to order each block's surviving superclusters near-to-far."""
     n = o.x.shape[0]
+    if block % 8:
+        raise ValueError(
+            f"block must be a multiple of 8 (got {block}): the cull packs "
+            "per-(block/8-ray sub-block) member masks"
+        )
     nb = _round_up(max(n, 8 * block), 8 * block)
     t_min = jnp.broadcast_to(jnp.asarray(t_min, _F32), (n,))
     t_max = jnp.broadcast_to(jnp.asarray(t_max, _F32), (n,))
@@ -757,7 +762,9 @@ def closest_hit_cluster(
         cs.rows, cs.xf_inv, cull.ids, cull.keys, cull.bits_lo, cull.bits_hi,
         cull.rowix, cull.xfix, cull.count, cull.rays8,
         block=block, interpret=interpret, cluster_size=cs.cluster_size,
-        groups=1 if interpret else (groups or SWEEP_GROUPS),
+        # explicit groups is honored even in interpret mode (testability);
+        # the default avoids interpreting 64 gate branches per visit
+        groups=groups or (1 if interpret else SWEEP_GROUPS),
     )
     t = t[:n, 0]
     tri = tri[:n, 0]
@@ -797,7 +804,9 @@ def any_hit_cluster(
         cs.rows, cs.xf_inv, cull.ids, cull.keys, cull.bits_lo, cull.bits_hi,
         cull.rowix, cull.xfix, cull.count, cull.rays8,
         block=block, interpret=interpret, cluster_size=cs.cluster_size,
-        groups=1 if interpret else (groups or SWEEP_GROUPS),
+        # explicit groups is honored even in interpret mode (testability);
+        # the default avoids interpreting 64 gate branches per visit
+        groups=groups or (1 if interpret else SWEEP_GROUPS),
     )
     return occ[:n, 0] > 0, jnp.zeros((), _F32)
 

@@ -132,7 +132,7 @@ def textured_box(material: dict, pos, extent, uv_scale=1.0):
         (4, 0, 3, 7, [-1, 0, 0], (2, 1)),  # left:   u=z, v=y
         (1, 5, 6, 2, [1, 0, 0], (2, 1)),   # right
         (3, 2, 6, 7, [0, 1, 0], (0, 2)),   # top:    u=x, v=z
-        (4, 0, 1, 5, [0, -1, 0], (0, 2)),  # bottom
+        (4, 5, 1, 0, [0, -1, 0], (0, 2)),  # bottom (outward -y winding)
     ]
     verts, norms, uvs, idx = [], [], [], []
     for a, b, c, d, nrm, (ua, va) in quads:

@@ -37,10 +37,8 @@ def test_loft_is_closed_and_compilable(loft):
     assert (hi - lo).max() < 20.0  # room-sized, not city-sized
 
 
-def test_loft_regenerates_deterministically(tmp_path):
-    import sys
-
-    sys.path.insert(0, "scenes")
+def test_loft_regenerates_deterministically(tmp_path, monkeypatch):
+    monkeypatch.syspath_prepend("scenes")
     import make_scenes
 
     hs = make_scenes.loft()

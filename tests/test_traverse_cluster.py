@@ -152,3 +152,44 @@ def test_single_cluster_and_tiny_scene(rng):
     rec = closest_hit_cluster(cs, ov, dv, 1e-3, 1e16, block=128, interpret=True)
     bt, btri = _brute(v0, v1, v2, o, d, 1e-3, 1e16)
     assert (np.asarray(rec.tri) == btri).all()
+
+
+def test_sub_block_gating_matches_whole_block():
+    """groups=8 (per-16-ray sub-block gates) must be exactly equivalent to
+    groups=1 (whole-block union gates) — the masks are conservative subsets.
+    Runs the real gate bit-arithmetic through the interpret path."""
+    import numpy as np
+
+    from optixpathtracer_tpu.builder import compile_scene
+    from optixpathtracer_tpu.core.materials import make_material
+    from optixpathtracer_tpu.core.math import Vec3
+    from optixpathtracer_tpu.core.scene import HostScene
+    from optixpathtracer_tpu.ops.traverse_cluster import (
+        any_hit_cluster,
+        closest_hit_cluster,
+    )
+
+    rng = np.random.default_rng(3)
+    hs = HostScene()
+    for _ in range(40):
+        hs.add_box(
+            make_material(),
+            pos=rng.uniform(-4, 4, 3),
+            extent=rng.uniform(0.2, 0.8, 3),
+        )
+    cs = compile_scene(hs).clusters
+    n = 256
+    o = rng.uniform(-6, 6, (n, 3)).astype(np.float32)
+    d = rng.normal(0, 1, (n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    ov = Vec3(*(jnp.asarray(o[:, i]) for i in range(3)))
+    dv = Vec3(*(jnp.asarray(d[:, i]) for i in range(3)))
+
+    r1 = closest_hit_cluster(cs, ov, dv, 1e-3, 1e16, interpret=True, groups=1)
+    r8 = closest_hit_cluster(cs, ov, dv, 1e-3, 1e16, interpret=True, groups=8)
+    np.testing.assert_array_equal(np.asarray(r1.tri), np.asarray(r8.tri))
+    np.testing.assert_array_equal(np.asarray(r1.t), np.asarray(r8.t))
+
+    o1, _ = any_hit_cluster(cs, ov, dv, 1e-2, 1e16, interpret=True, groups=1)
+    o8, _ = any_hit_cluster(cs, ov, dv, 1e-2, 1e16, interpret=True, groups=8)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o8))
