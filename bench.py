@@ -131,7 +131,9 @@ def main():
     cfg = RenderConfig(
         width=width, height=height, samples_per_launch=spp, max_depth=4,
         traversal="lockstep" if on_cpu else "cluster",
-        dispatch_tiles=1 if small else 4,
+        # bigger dispatches = denser sorted wavefronts (measured: 2 tiles
+        # 1.026 vs 4 tiles 0.976 Mrays/s; 1 tile equal to 2)
+        dispatch_tiles=1 if small else 2,
         # measured-best flag set (PERF_NOTES round-2): ray-stream sorting on;
         # fused_shadows measured a LOSS (the combined closest sweep forfeits
         # the any-hit kernel's first-hit exit); batch_spp neutral at this size

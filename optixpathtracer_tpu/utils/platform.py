@@ -21,8 +21,10 @@ def on_tpu() -> bool:
 
 
 # rays per sequential dispatch on TPU: big enough to amortize dispatch
-# overhead, small enough to stay under the tunnel's RPC deadline
-TPU_DISPATCH_RAYS = 262144
+# overhead AND keep sorted wavefronts dense (bigger dispatches measured
+# faster: 480k-ray dispatches beat 240k by ~5%), small enough to stay
+# under the tunnel's RPC deadline
+TPU_DISPATCH_RAYS = 524288
 
 
 def auto_tune(cfg: RenderConfig, num_triangles: int | None = None) -> RenderConfig:
