@@ -98,6 +98,7 @@ def cmd_render(args: argparse.Namespace) -> int:
         r = models.make_spectral_renderer(
             cs, probe, camera, cfg.width, cfg.height, cfg.spp, cfg.max_depth,
             traversal=cfg.traversal,
+            emission_all_bounces=cfg.emission_all_bounces,
         )
         for _ in range(cfg.frames):
             img = r.render()
@@ -136,6 +137,7 @@ def cmd_render(args: argparse.Namespace) -> int:
     r = models.make_disney_pt_renderer(
         cs, probe, camera, cfg.width, cfg.height, cfg.spp, cfg.max_depth,
         traversal=cfg.traversal, dispatch_tiles=tiles,
+        emission_all_bounces=cfg.emission_all_bounces,
     )
     if cfg.checkpoint:
         import os

@@ -40,6 +40,9 @@ class RunConfig:
     spp: int = 4
     max_depth: int = 4
     traversal: str = "lockstep"
+    emission_all_bounces: bool = False  # emissive GEOMETRY lights the scene
+    #   through BSDF paths (closed interiors like scenes/loft.obj render
+    #   black without it — the reference adds emission only on primary hits)
     denoise: bool = False
     tonemap: str = "reinhard"
     exposure: float = 0.0
@@ -56,6 +59,7 @@ class RunConfig:
             samples_per_launch=self.spp,
             max_depth=self.max_depth,
             traversal=self.traversal,
+            emission_all_bounces=self.emission_all_bounces,
             **overrides,
         )
 
@@ -86,6 +90,11 @@ def add_config_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--spp", type=int, default=None)
     parser.add_argument("--max-depth", type=int, default=None, dest="max_depth")
     parser.add_argument("--traversal", default=None, choices=["lockstep", "bfs", "cluster", "dense"])
+    parser.add_argument(
+        "--emission-all-bounces", action="store_true", default=None,
+        dest="emission_all_bounces",
+        help="let emissive geometry light the scene through BSDF paths "
+             "(needed for closed interiors, e.g. scenes/loft.obj)")
     parser.add_argument("--denoise", action="store_true", default=None)
     parser.add_argument("--tonemap", default=None, choices=["none", "sqrt", "reinhard"])
     parser.add_argument("--exposure", type=float, default=None)
@@ -103,8 +112,8 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
         with open(args.config) as f:
             cfg = RunConfig.from_json(f.read())
     for field in ("model", "scene", "probe", "out", "frames", "width", "height",
-                  "spp", "max_depth", "traversal", "denoise", "tonemap",
-                  "exposure", "checkpoint", "metrics"):
+                  "spp", "max_depth", "traversal", "emission_all_bounces",
+                  "denoise", "tonemap", "exposure", "checkpoint", "metrics"):
         v = getattr(args, field, None)
         if v is not None:
             setattr(cfg, field, v)
