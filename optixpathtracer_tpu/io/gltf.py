@@ -144,12 +144,39 @@ def load_gltf(path: str) -> tuple[HostScene, list[dict]]:
             if ti not in tex_cache:
                 img_idx = gltf["textures"][ti]["source"]
                 img = gltf["images"][img_idx]
-                if "uri" in img and not img["uri"].startswith("data:"):
+                uri = img.get("uri", "")
+                if uri and not uri.startswith("data:"):
                     tex_cache[ti] = scene.add_texture(
-                        load_image(os.path.join(base_dir, img["uri"]), flip_y=False)
+                        load_image(os.path.join(base_dir, uri), flip_y=False)
                     )
                 else:
-                    tex_cache[ti] = -1  # embedded images: skip (factor only)
+                    # embedded image: base64 data URI or GLB bufferView bytes
+                    # (tinygltf decodes both; Scene.cpp:292-316 uploads them)
+                    raw = None
+                    if uri.startswith("data:"):
+                        import base64
+
+                        raw = base64.b64decode(uri.split(",", 1)[1])
+                    elif "bufferView" in img:
+                        bv = gltf["bufferViews"][img["bufferView"]]
+                        buf = buffers[bv.get("buffer", 0)]
+                        off = bv.get("byteOffset", 0)
+                        raw = bytes(buf[off : off + bv["byteLength"]])
+                    if raw is not None:
+                        import io as _io
+
+                        from PIL import Image
+
+                        arr = (
+                            np.asarray(
+                                Image.open(_io.BytesIO(raw)).convert("RGB"),
+                                np.float32,
+                            )
+                            / 255.0
+                        )
+                        tex_cache[ti] = scene.add_texture(arr)
+                    else:
+                        tex_cache[ti] = -1
             tex_id = tex_cache[ti]
         return make_material(
             color=tuple(base[:3]),

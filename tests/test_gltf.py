@@ -69,3 +69,80 @@ def test_gltf_renders(tmp_path):
     d = Vec3.of([0.0], [0.0], [-1.0])
     rec = closest_hit(cs.bvh, cs.scene, o, d)
     assert bool(np.asarray(rec.hit)[0])
+
+
+def test_gltf_embedded_texture(tmp_path):
+    """GLB with the texture EMBEDDED in the binary chunk via bufferView —
+    the common exporter layout; round-1 skipped these (factor-only)."""
+    import io
+    import json as _json
+    import struct
+
+    import numpy as np
+    from PIL import Image
+
+    from optixpathtracer_tpu.io.gltf import load_gltf
+
+    # 2x2 PNG: distinct quadrant colors
+    px = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]], np.uint8
+    )
+    png = io.BytesIO()
+    Image.fromarray(px).save(png, format="PNG")
+    png_bytes = png.getvalue()
+    png_bytes += b"\x00" * (-len(png_bytes) % 4)
+
+    pos = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], np.float32)
+    uv = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    idx = np.array([0, 1, 2, 0, 2, 3], np.uint16)
+    blob = pos.tobytes() + uv.tobytes() + idx.tobytes() + b"\x00\x00" + png_bytes
+    off_uv = pos.nbytes
+    off_idx = off_uv + uv.nbytes
+    off_png = off_idx + idx.nbytes + 2
+
+    gltf = {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": 1, "TEXCOORD_0": 2},
+            "indices": 0, "material": 0}]}],
+        "materials": [{"pbrMetallicRoughness": {
+            "baseColorFactor": [1, 1, 1, 1],
+            "baseColorTexture": {"index": 0},
+            "metallicFactor": 0.0, "roughnessFactor": 0.7}}],
+        "textures": [{"source": 0}],
+        "images": [{"bufferView": 3, "mimeType": "image/png"}],
+        "buffers": [{"byteLength": len(blob)}],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": off_idx, "byteLength": idx.nbytes},
+            {"buffer": 0, "byteOffset": 0, "byteLength": pos.nbytes},
+            {"buffer": 0, "byteOffset": off_uv, "byteLength": uv.nbytes},
+            {"buffer": 0, "byteOffset": off_png, "byteLength": len(png_bytes)},
+        ],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5123, "count": 6, "type": "SCALAR"},
+            {"bufferView": 1, "componentType": 5126, "count": 4, "type": "VEC3",
+             "min": pos.min(0).tolist(), "max": pos.max(0).tolist()},
+            {"bufferView": 2, "componentType": 5126, "count": 4, "type": "VEC2"},
+        ],
+    }
+    js = _json.dumps(gltf).encode()
+    js += b" " * (-len(js) % 4)
+    glb = (
+        struct.pack("<4sII", b"glTF", 2, 12 + 8 + len(js) + 8 + len(blob))
+        + struct.pack("<I4s", len(js), b"JSON") + js
+        + struct.pack("<I4s", len(blob), b"BIN\x00") + blob
+    )
+    path = tmp_path / "tex.glb"
+    path.write_bytes(glb)
+
+    hs, _lights = load_gltf(str(path))
+    assert len(hs.textures) == 1
+    tex = hs.textures[0]
+    assert tex.shape == (2, 2, 3)
+    np.testing.assert_allclose(tex[0, 0], (1, 0, 0))  # quadrants decoded
+    mesh = hs.meshes[0]
+    assert mesh.material["texture_id"] == 0
+    assert mesh.texcoords is not None and len(mesh.texcoords) == 4
