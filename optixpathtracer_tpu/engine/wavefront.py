@@ -41,6 +41,7 @@ from ..core.math import (
     cross,
     dot,
     faceforward,
+    luminance,
     normalize,
     where,
 )
@@ -106,6 +107,22 @@ class RenderConfig:
     unroll: bool = False  # unroll the (statically-bounded) spp and bounce
     #   loops into straight-line XLA instead of fori_loops — larger programs
     #   and compiles, but removes loop-carry traffic.
+    nee_final_bounce: bool = True  # trace NEE shadow rays on the LAST bounce
+    #   (depth == max_depth). The reference raygen breaks out of the bounce
+    #   loop before accumulating the final sweep's prd.radiance
+    #   (deviceProgram.cu:429-437), so its final-bounce NEE work is traced
+    #   then DISCARDED. False skips that whole shadow sweep (statically — the
+    #   last bounce iteration is peeled out of the loop), trading the small
+    #   extra energy our "always accumulate" deviation adds for one fewer
+    #   any-hit sweep per sample.
+    nee_rr: float = 0.0  # Russian-roulette NEE scheduling threshold (0 = off,
+    #   reference behavior: every shaded hit traces a shadow ray even when
+    #   the sample contribution is negligible, deviceProgram.cu:264-277).
+    #   When > 0, a shadow ray whose potential contribution luminance
+    #   (throughput x contrib) is below the threshold is traced only with
+    #   probability p = clamp(lum/nee_rr, 0.05, 1) and its contribution
+    #   scaled by 1/p — an unbiased estimator that skips most deep-path
+    #   shadow rays (they sort to dead blocks and cost ~nothing).
     sort_rays: bool = False  # reorder the path wavefront by a spatial
     #   coherence key (dead-bit | origin Morton cell | direction octant |
     #   direction fine bits) before every bounce's traversal. The cluster
@@ -431,19 +448,43 @@ def _any_hit_sorted(cs, cfg, o: Vec3, d: Vec3, t_min, t_max):
     return occ_u, ovf
 
 
-def _nee(cs, probe, cfg, p, n, wo, mat, albedo, eta_i, eta_o, active, state):
+def _nee_rr(cfg, state, throughput, contrib, valid):
+    """Russian-roulette NEE scheduling (cfg.nee_rr; unbiased): dim potential
+    contributions survive with p = clamp(lum/threshold, 0.05, 1) and are
+    scaled by 1/p. Returns (state, contrib', valid')."""
+    if cfg.nee_rr <= 0.0 or throughput is None:
+        return state, contrib, valid
+    lum = luminance(throughput * contrib)
+    p_surv = jnp.clip(lum / cfg.nee_rr, 0.05, 1.0)
+    state, u = randf(state)
+    survive = u < p_surv
+    return state, contrib * (1.0 / p_surv), valid & survive
+
+
+def _nee(cs, probe, cfg, p, n, wo, mat, albedo, eta_i, eta_o, active, state,
+         throughput=None):
     """NEE with immediate visibility trace. Returns (state,
-    unshadowed_contrib_if_visible, shadowed_contrib_if_occluded) — the latter
-    feeds the shadow-catcher path (SampleShadow :294-334)."""
+    unshadowed_contrib_if_visible, shadowed_contrib_if_occluded, overflow,
+    traced_mask) — `shadowed` feeds the shadow-catcher path (SampleShadow
+    :294-334); `traced_mask` is which lanes actually traced a shadow ray
+    (the bench ray count)."""
     state, wi, contrib, valid = _nee_sample(
         cs, probe, cfg, p, n, wo, mat, albedo, eta_i, eta_o, state
     )
-    t_max = jnp.where(active, cfg.t_max, 0.0)
+    if cfg.nee_rr > 0.0:
+        state, contrib, valid = _nee_rr(cfg, state, throughput, contrib, valid)
+        # under RR scheduling, skipped/invalid lanes genuinely do not trace
+        traced = active & valid
+    else:
+        # reference parity: every shaded hit traces, even invalid samples
+        # (deviceProgram.cu:264-277 traces before checking pdfs)
+        traced = active
+    t_max = jnp.where(traced, cfg.t_max, 0.0)
     occluded, ovf = _any_hit_sorted(cs, cfg, p, wi, cfg.shadow_t_min, t_max)
     zero = Vec3.zeros(jnp.shape(valid))
     lit = where(valid & ~occluded, contrib, zero)
     shadowed = where(valid & occluded, contrib, zero)
-    return state, lit, shadowed, ovf
+    return state, lit, shadowed, ovf, traced
 
 
 def _quad_nee(cs, cfg, light, p, n, wo, mat, albedo, eta_i, eta_o, active, state):
@@ -594,7 +635,7 @@ def trace_wavefront(
                 pend_catcher=zf > 1.0,
             )
 
-        def bounce_body(depth, path):
+        def bounce_body(depth, path, skip_nee: bool = False):
             if sorting:
                 key = _coherence_key(
                     path["o"], path["d"], path["done"], cs.clusters.scene_aabb
@@ -663,30 +704,52 @@ def trace_wavefront(
             wo = -path["d"]
             plain = shaded & ~is_catcher
             catcher_primary = shaded & is_catcher
-            if cfg.fused_shadows:
+            if skip_nee:
+                # peeled final bounce (cfg.nee_final_bounce=False): the
+                # reference discards this sweep's NEE anyway — skip the
+                # sample AND the shadow sweep statically
+                state = path["state"]
+                shadow_traced = zf > 1.0
+                pend = (
+                    dict(sh_o=p_hit, sh_d=path["d"], pend_contrib=zero,
+                         pend_valid=shadow_traced, pend_catcher=shadow_traced)
+                    if cfg.fused_shadows else {}
+                )
+                radiance = path["radiance"]
+                alpha = where(plain, Vec3.ones((n,)), path["alpha"])
+            elif cfg.fused_shadows:
                 # sample NEE now; its shadow ray rides the NEXT traversal
                 state, wi, contrib, nee_valid = _nee_sample(
                     cs, probe, cfg, p_hit, n_hit, wo, mat, albedo,
                     path["eta"], eta_o, path["state"],
                 )
-                # trace the shadow ray for every shaded hit (the reference
-                # traces before checking pdfs, deviceProgram.cu:264-277);
-                # zero out the contribution where the sample is invalid
+                if cfg.nee_rr > 0.0:
+                    state, contrib, nee_valid = _nee_rr(
+                        cfg, state, path["throughput"], contrib, nee_valid
+                    )
+                    pend_valid = shaded & nee_valid
+                else:
+                    # trace the shadow ray for every shaded hit (the reference
+                    # traces before checking pdfs, deviceProgram.cu:264-277);
+                    # zero out the contribution where the sample is invalid
+                    pend_valid = shaded
                 pend = dict(
                     sh_o=p_hit,
                     sh_d=wi,
                     pend_contrib=where(
                         nee_valid, path["throughput"] * contrib, zero
                     ),
-                    pend_valid=shaded,
+                    pend_valid=pend_valid,
                     pend_catcher=catcher_primary,
                 )
+                shadow_traced = pend_valid
                 radiance = path["radiance"]
                 alpha = where(plain, Vec3.ones((n,)), path["alpha"])
             else:
-                state, lit, shadowed, nee_ovf = _nee(
+                state, lit, shadowed, nee_ovf, shadow_traced = _nee(
                     cs, probe, cfg, p_hit, n_hit, wo, mat, albedo,
                     path["eta"], eta_o, shaded, path["state"],
+                    throughput=path["throughput"],
                 )
                 ovf = ovf + nee_ovf
                 pend = {}
@@ -738,7 +801,7 @@ def trace_wavefront(
 
             # parallelogram-light NEE (new capability; LaunchParams.light is
             # never sampled by the reference)
-            if area_light is not None:
+            if area_light is not None and not skip_nee:
                 state, quad_contrib, quad_ovf = _quad_nee(
                     cs, cfg, area_light, p_hit, n_hit, wo, mat, albedo,
                     path["eta"], eta_o, plain & (mat.emission.x + mat.emission.y + mat.emission.z == 0.0), state,
@@ -763,6 +826,18 @@ def trace_wavefront(
                 radiance = radiance + where(
                     miss_sec, path["throughput"] * env * mw, zero
                 )
+
+            if skip_nee:
+                # peeled final bounce: the continuation state (o/d/throughput/
+                # eta/done/bsdf_pdf) is never consumed again, so the Disney
+                # sample/eval below is skipped statically as well
+                rays = path["rays"] + jnp.sum(active.astype(jnp.float32))
+                out = dict(
+                    path, radiance=radiance, alpha=alpha, normal=normal_aov,
+                    albedo=albedo_aov, state=state, rays=rays, ovf=ovf,
+                )
+                out.update(pend)
+                return out
 
             # ---- BSDF continuation ----
             tb, bb = basis_from_vector(n_hit)
@@ -789,7 +864,7 @@ def trace_wavefront(
             secondary = path["secondary"] | cont
 
             shadow_count = (
-                path["pend_valid"] if cfg.fused_shadows else shaded
+                path["pend_valid"] if cfg.fused_shadows else shadow_traced
             )
             rays = path["rays"] + jnp.sum(active.astype(jnp.float32)) + jnp.sum(
                 shadow_count.astype(jnp.float32)
@@ -819,12 +894,23 @@ def trace_wavefront(
             return out
 
         # fused mode needs one extra iteration to flush the last shadow rays
-        n_bounce_iters = cfg.max_depth + (2 if cfg.fused_shadows else 1)
+        if cfg.nee_final_bounce:
+            n_bounce_iters = cfg.max_depth + (2 if cfg.fused_shadows else 1)
+            peel = 0
+        else:
+            # the final bounce is PEELED out of the loop and runs with
+            # skip_nee=True (static: its shadow sweep never compiles in);
+            # fused mode then needs no flush iteration — the peeled bounce's
+            # combined sweep resolves the last pending shadows
+            n_bounce_iters = cfg.max_depth
+            peel = 1
         if cfg.unroll:
             for _depth in range(n_bounce_iters):
                 path = bounce_body(jnp.int32(_depth), path)
         else:
             path = jax.lax.fori_loop(0, n_bounce_iters, bounce_body, path)
+        if peel:
+            path = bounce_body(jnp.int32(cfg.max_depth), path, skip_nee=True)
 
         if sorting:
             # restore caller lane order: sort (idx, iota) for the inverse

@@ -97,39 +97,52 @@ def _cull_math(o3, d3, tm, tM, alive_any, sph_t):
     """Shared cull math for one ray block.
 
     o3/d3/tm/tM: (B, 3)/(B, 3)/(B, 1)/(B, 1); sph_t: (8, M) transposed
-    PER-CLUSTER sphere table [qx | qy | qz | r | ...] in MEMBER-MAJOR column
-    order (cluster (sid, k) at column k*S + sid, so each member k occupies
-    one contiguous (1, S) slice). Returns (key (1, S) f32 with BIG for culled
-    supers, lo/hi (1, S) u32 per-sub-block member bitmasks, count () i32).
+    PER-CLUSTER bounds table [cx | cy | cz | r | hx | hy | hz | .] in
+    MEMBER-MAJOR column order (cluster (sid, k) at column k*S + sid, so each
+    member k occupies one contiguous (1, S) slice). Returns (key (1, S) f32
+    with BIG for culled supers, lo/hi (1, S) u32 per-sub-block member
+    bitmasks, count () i32).
 
-    Per ray (unit direction u, geometric reach R = t_max*|d|) vs cluster
-    sphere (q, r): candidate iff the infinite line passes within r of q
-    (perp^2 <= r^2) AND the closest approach lies in [-r, R + r]. The
-    per-cluster mask is the union over the block's live rays — exact, not a
-    cone bound — packed into one bit per member cluster.
+    Per ray vs cluster AABB (center c, half-extent h): exact slab test of
+    the segment t in [0, t_max] in ray-parameter units. Treelet clusters are
+    elongated (walls, road strips), so their boxes are much tighter than
+    their circumspheres (box SUBSET OF circumsphere always — this test only
+    ever removes candidates relative to the earlier sphere test, measured
+    ~2x fewer member evals on the bench city). The per-cluster mask is the
+    union over the block's live rays — exact, not a cone bound — packed
+    into one bit per member cluster.
 
-    Near-to-far key per super: min over member clusters of
-    |q - Ob| - (r + Rb), with (Ob, Rb) bounding the live origins — a provable
-    lower bound on any hit's geometric distance (sweep early exit).
+    Near-to-far key per super: min over member clusters of the box-to-box
+    separation between the cluster AABB and the AABB of the block's live
+    origins — a provable lower bound on any hit's geometric distance
+    (any hit point lies in the cluster box, any origin in the block box;
+    feeds the sweep early exit).
     """
     ox, oy, oz = o3[:, 0:1], o3[:, 1:2], o3[:, 2:3]
     dx, dy, dz = d3[:, 0:1], d3[:, 1:2], d3[:, 2:3]
     alive = tM > tm  # (B, 1)
-    dlen = jnp.sqrt(dx * dx + dy * dy + dz * dz)
-    inv = 1.0 / jnp.maximum(dlen, 1e-30)
-    ux, uy, uz = dx * inv, dy * inv, dz * inv
-    reach = tM * dlen
 
     qx, qy, qz = sph_t[0:1, :], sph_t[1:2, :], sph_t[2:3, :]
-    r = sph_t[3:4, :]
+    hx, hy, hz = sph_t[4:5, :], sph_t[5:6, :], sph_t[6:7, :]
 
-    wx = qx - ox  # (B, M)
-    wy = qy - oy
-    wz = qz - oz
-    tc = wx * ux + wy * uy + wz * uz
-    d2 = wx * wx + wy * wy + wz * wz
-    perp2 = d2 - tc * tc
-    hit = alive & (perp2 <= r * r) & (tc >= -r) & (tc - r <= reach)
+    def axis(dc, oc, qc, hc):
+        # robust reciprocal: degenerate components get a huge-but-finite
+        # slope, making the slab for that axis effectively all-pass at the
+        # box and never-pass far away (conservative either way)
+        iv = 1.0 / jnp.where(jnp.abs(dc) > 1e-30, dc, 1e-30)
+        av = jnp.abs(iv)
+        mid = (qc - oc) * iv  # (B, M)
+        rad = hc * av  # (B, M)
+        return mid - rad, mid + rad
+
+    t0x, t1x = axis(dx, ox, qx, hx)
+    t0y, t1y = axis(dy, oy, qy, hy)
+    t0z, t1z = axis(dz, oz, qz, hz)
+    tn = jnp.maximum(jnp.maximum(t0x, t0y), jnp.maximum(t0z, 0.0))
+    tf = jnp.minimum(jnp.minimum(t1x, t1y), jnp.minimum(t1z, tM))
+    # 4-ulp slack absorbs the slab arithmetic's rounding (standard robust
+    # ray/AABB practice); boxes themselves are pre-dilated at build
+    hit = alive & (tn <= tf + jnp.abs(tf) * 4e-7 + 1e-30)
     mask = jnp.any(hit, axis=0, keepdims=True)  # (1, M)
 
     def ob(a):
@@ -137,17 +150,20 @@ def _cull_math(o3, d3, tm, tM, alive_any, sph_t):
         hi = jnp.max(jnp.where(alive, a, -_BIG), axis=0, keepdims=True)
         lo = jnp.where(alive_any, lo, 0.0)
         hi = jnp.where(alive_any, hi, 0.0)
-        return 0.5 * (lo + hi), hi - lo
+        return 0.5 * (lo + hi), 0.5 * (hi - lo)
 
-    obx, ex = ob(ox)
-    oby, ey = ob(oy)
-    obz, ez = ob(oz)
-    rb = 0.5 * jnp.sqrt(ex * ex + ey * ey + ez * ez)  # (1, 1)
-    bx = qx - obx
-    by = qy - oby
-    bz = qz - obz
-    dist = jnp.sqrt(bx * bx + by * by + bz * bz)  # (1, M)
-    ckey = jnp.where(mask, jnp.maximum(dist - (r + rb), 0.0), _BIG)
+    obx, hbx = ob(ox)
+    oby, hby = ob(oy)
+    obz, hbz = ob(oz)
+
+    def sep(qc, hc, oc, hb):
+        return jnp.maximum(jnp.abs(qc - oc) - (hc + hb), 0.0)  # (1, M)
+
+    sx = sep(qx, hx, obx, hbx)
+    sy = sep(qy, hy, oby, hby)
+    sz = sep(qz, hz, obz, hbz)
+    dist = jnp.sqrt(sx * sx + sy * sy + sz * sz) * (1.0 - 4e-7)  # (1, M)
+    ckey = jnp.where(mask, dist, _BIG)
 
     # member-major layout: member k of every super is the contiguous slice
     # [k*S:(k+1)*S], so the per-super reduction is slicing, not reshapes
