@@ -138,6 +138,10 @@ def main():
         # fused_shadows measured a LOSS (the combined closest sweep forfeits
         # the any-hit kernel's first-hit exit); batch_spp neutral at this size
         sort_rays=not on_cpu,
+        # skip the final bounce's NEE statically — the reference traces those
+        # shadow rays then DISCARDS their contribution (deviceProgram.cu:
+        # 429-437); measured 5.01 -> 4.72 s/frame, 1.365 -> 1.412 Mrays/s
+        nee_final_bounce=False,
     )
     cam = Camera(
         eye=(55.0, 18.0, 55.0), lookat=(0.0, 2.0, 0.0), up=(0, 1, 0), fov_y=45,
