@@ -59,12 +59,13 @@ _RING = 4  # sweep-kernel DMA pipeline depth
 _GMAX_STRIDE = 4  # refresh the early-exit bound every N visits (each refresh
 #   is a VPU->scalar sync feeding the walk's loop condition; a stale bound is
 #   merely conservative)
-SWEEP_GROUPS = 1  # ray-block gate granularity: the sweep kernels test member
+SWEEP_GROUPS = 2  # ray-block gate granularity: the sweep kernels test member
 #   clusters per GROUP of block/SWEEP_GROUPS consecutive (sorted) rays and
-#   evaluate (block/groups, C) M-T blocks only for flagged groups. Finer
-#   groups cut pair evals (2.7x at 8 groups on sorted bounce rays) but add
-#   scalar branches per visit; measured NEVER winning at bench scale (the
-#   per-visit wall is the early-exit scalar sync, not VPU compute) - keep 1.
+#   evaluate (block/groups, C) M-T blocks only for flagged groups. Under the
+#   sphere-era (fat) cull bits finer groups never won; under the SLAB cull's
+#   sparse bits groups=2 wins everywhere (sorted-bounce closest -22%,
+#   any-hit -5%, camera -3%; groups=4/8 lose again to per-branch overhead —
+#   PERF_NOTES.md post-slab knob re-sweep).
 
 
 class CullResult(NamedTuple):
@@ -454,13 +455,30 @@ def _closest_kernel(
             def _(k=k):
                 dma(k).start()
 
-        gmax0 = jnp.max(jnp.minimum(tM * dlen, _BIG))
+        rows_g = block // groups
+
+        def gmax_groups(vals):
+            # per-GROUP early-exit bounds (block-level keys are still valid
+            # lower bounds for any subset of the block's rays): a group
+            # whose rays are all resolved stops paying for M-T evals while
+            # the rest of the block keeps walking — same single VPU->scalar
+            # sync point, just `groups` reductions instead of one
+            return tuple(
+                jnp.max(vals[g * rows_g : (g + 1) * rows_g, :])
+                for g in range(groups)
+            )
+
+        gmax0 = gmax_groups(jnp.minimum(tM * dlen, _BIG))
 
         def cond(carry, r=r):
             i, gmax = carry
             # early exit: every ray's best hit is closer than the next
             # super's provable distance lower bound (keys sorted ascending)
-            return (i < count) & (keys_ref[r, jnp.minimum(i, s - 1)] <= gmax)
+            k = keys_ref[r, jnp.minimum(i, s - 1)]
+            alive = k <= gmax[0]
+            for g in range(1, groups):
+                alive = alive | (k <= gmax[g])
+            return (i < count) & alive
 
         def body(carry, r=r, count=count, o3=o3, d3=d3, tm=tm, dlen=dlen):
             i, gmax = carry
@@ -473,6 +491,7 @@ def _closest_kernel(
             sid = ids_ref[r, i]
             lo_w = lo_ref[r, i]
             hi_w = hi_ref[r, i]
+            key_i = keys_ref[r, i]
             # instance transform (identity row for non-instanced scenes)
             xf = xf_ref[pl.ds(xfix_ref[r, i], 1), :]
             oc, dc = _xform_ray(o3, d3, xf)
@@ -485,7 +504,6 @@ def _closest_kernel(
             # evaluates an (block/groups, C) M-T block per flagged group —
             # compute scales with flagged groups, not whole-block unions
             gsz = 8 // groups
-            rows_g = block // groups
             for k in range(SUPER):
                 for g in range(groups):
                     subs = range(g * gsz, (g + 1) * gsz)
@@ -496,7 +514,7 @@ def _closest_kernel(
                         acc = acc | jnp.bitwise_and(lo_w, jnp.uint32(mlo))
                     if mhi:
                         acc = acc | jnp.bitwise_and(hi_w, jnp.uint32(mhi))
-                    gate = acc != 0
+                    gate = (acc != 0) & (key_i <= gmax[g])
                     rsl = slice(g * rows_g, (g + 1) * rows_g)
 
                     @pl.when(gate)
@@ -523,7 +541,7 @@ def _closest_kernel(
             # exits a little later, never wrongly
             gmax = jax.lax.cond(
                 jax.lax.rem(i, _GMAX_STRIDE) == _GMAX_STRIDE - 1,
-                lambda: jnp.max(jnp.minimum(acc_t[:, :] * dlen, _BIG)),
+                lambda: gmax_groups(jnp.minimum(acc_t[:, :] * dlen, _BIG)),
                 lambda: gmax,
             )
             return i + 1, gmax
@@ -576,11 +594,25 @@ def _any_kernel(
             def _(k=k):
                 dma(k).start()
 
-        gmax0 = jnp.max(jnp.minimum(reach, _BIG))
+        rows_g = block // groups
+
+        def gmax_groups(vals):
+            # per-GROUP bounds (see _closest_kernel): a group whose rays are
+            # all occluded/out-of-candidates stops evaluating immediately
+            return tuple(
+                jnp.max(vals[g * rows_g : (g + 1) * rows_g, :])
+                for g in range(groups)
+            )
+
+        gmax0 = gmax_groups(jnp.minimum(reach, _BIG))
 
         def cond(carry, r=r):
             i, gmax = carry
-            return (i < count) & (keys_ref[r, jnp.minimum(i, s - 1)] <= gmax)
+            k = keys_ref[r, jnp.minimum(i, s - 1)]
+            alive = k <= gmax[0]
+            for g in range(1, groups):
+                alive = alive | (k <= gmax[g])
+            return (i < count) & alive
 
         def body(carry, r=r, count=count, o3=o3, d3=d3, tm=tm, tM=tM, reach=reach):
             i, gmax = carry
@@ -592,13 +624,13 @@ def _any_kernel(
             dma(i).wait()
             lo_w = lo_ref[r, i]
             hi_w = hi_ref[r, i]
+            key_i = keys_ref[r, i]
             xf = xf_ref[pl.ds(xfix_ref[r, i], 1), :]
             oc, dc = _xform_ray(o3, d3, xf)
             slot = jax.lax.rem(i, _RING)
             rows_super = rbuf[slot]
 
             gsz = 8 // groups
-            rows_g = block // groups
             for k in range(SUPER):
                 for g in range(groups):
                     subs = range(g * gsz, (g + 1) * gsz)
@@ -609,7 +641,7 @@ def _any_kernel(
                         acc = acc | jnp.bitwise_and(lo_w, jnp.uint32(mlo))
                     if mhi:
                         acc = acc | jnp.bitwise_and(hi_w, jnp.uint32(mhi))
-                    gate = acc != 0
+                    gate = (acc != 0) & (key_i <= gmax[g])
                     rsl = slice(g * rows_g, (g + 1) * rows_g)
 
                     @pl.when(gate)
@@ -638,7 +670,7 @@ def _any_kernel(
             # is a VPU->scalar sync, so amortize it over _GMAX_STRIDE visits
             gmax = jax.lax.cond(
                 jax.lax.rem(i, _GMAX_STRIDE) == _GMAX_STRIDE - 1,
-                lambda: jnp.max(
+                lambda: gmax_groups(
                     jnp.minimum(
                         jnp.where(acc_occ[:, :] > 0, 0.0, reach), _BIG
                     )
