@@ -142,6 +142,9 @@ def main():
         # shadow rays then DISCARDS their contribution (deviceProgram.cu:
         # 429-437); measured 5.01 -> 4.72 s/frame, 1.365 -> 1.412 Mrays/s
         nee_final_bounce=False,
+        # one expanded pixels-x-samples wavefront per launch: halves the
+        # per-dispatch fixed costs (was neutral pre-slab; now +1%)
+        batch_spp=not small,
     )
     cam = Camera(
         eye=(55.0, 18.0, 55.0), lookat=(0.0, 2.0, 0.0), up=(0, 1, 0), fov_y=45,

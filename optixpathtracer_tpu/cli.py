@@ -138,6 +138,7 @@ def cmd_render(args: argparse.Namespace) -> int:
         cs, probe, camera, cfg.width, cfg.height, cfg.spp, cfg.max_depth,
         traversal=cfg.traversal, dispatch_tiles=tiles,
         emission_all_bounces=cfg.emission_all_bounces,
+        nee_final_bounce=cfg.nee_final_bounce, nee_rr=cfg.nee_rr,
     )
     if cfg.checkpoint:
         import os
