@@ -9,9 +9,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import functools
 import json
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from bench import build_city_scene
@@ -23,12 +25,20 @@ from optixpathtracer_tpu.ops.traverse_cluster import block_cull
 
 
 def _stats(cs, o, d, block=128):
-    cull = block_cull(cs, Vec3(*(jnp.asarray(o[:, i]) for i in range(3))),
-                      Vec3(*(jnp.asarray(d[:, i]) for i in range(3))),
-                      1e-3, 1e16, block)
-    cnt = np.asarray(cull.count)[:, 0]
-    lo = np.asarray(cull.bits_lo)
-    hi = np.asarray(cull.bits_hi)
+    # one jitted program end-to-end: through the axon tunnel, EAGER jnp ops
+    # dispatch remotely at ~10-30 ms each, which turns block_cull's ~50-op
+    # prologue into minutes (the round-1 LBVH lesson all over again)
+    @functools.partial(jax.jit, static_argnames=("blk",))
+    def run(ov, dv, blk):
+        cull = block_cull(cs, Vec3(ov[:, 0], ov[:, 1], ov[:, 2]),
+                          Vec3(dv[:, 0], dv[:, 1], dv[:, 2]),
+                          1e-3, 1e16, blk)
+        return cull.count, cull.bits_lo, cull.bits_hi
+
+    cnt_d, lo_d, hi_d = run(jnp.asarray(o), jnp.asarray(d), block)
+    cnt = np.asarray(cnt_d)[:, 0]
+    lo = np.asarray(lo_d)
+    hi = np.asarray(hi_d)
     # member k of any sub-block open => the groups=1 kernel evaluates it:
     # per-member union across sub-blocks = OR of the byte lanes of lo and hi
     u = (lo | (lo >> 8) | (lo >> 16) | (lo >> 24) |
@@ -66,10 +76,10 @@ def main():
     db = rng.normal(0, 1, (nr, 3)).astype(np.float32)
     db /= np.linalg.norm(db, axis=1, keepdims=True)
 
-    key = _coherence_key(Vec3(*(jnp.asarray(ob[:, i]) for i in range(3))),
-                         Vec3(*(jnp.asarray(db[:, i]) for i in range(3))),
-                         jnp.zeros((nr,), bool), cs.scene_aabb)
-    sorder = np.asarray(jnp.argsort(key))
+    sort_j = jax.jit(lambda ov, dv: jnp.argsort(_coherence_key(
+        Vec3(ov[:, 0], ov[:, 1], ov[:, 2]), Vec3(dv[:, 0], dv[:, 1], dv[:, 2]),
+        jnp.zeros((ov.shape[0],), bool), cs.scene_aabb)))
+    sorder = np.asarray(sort_j(jnp.asarray(ob), jnp.asarray(db)))
 
     out = {}
     out["camera_tiles"] = _stats(cs, ocam.astype(np.float32), dcam.astype(np.float32))
