@@ -56,8 +56,9 @@ def main():
     )
 
     # ---- foveated: sv4 3-zone, reference radii 157/515 ------------------
+    fused = "--fused" in sys.argv
     fcfg = RenderConfig(samples_per_launch=8, **base)
-    fov = FoveatedRenderer(cs, probe, fcfg, cam, FoveationConfig())
+    fov = FoveatedRenderer(cs, probe, fcfg, cam, FoveationConfig(), fused=fused)
     zones = fov.zones
     ideal_fov_rays = sum(z.grid_w * z.grid_h * z.spp for z in zones)
     ideal_uni_rays = W * H * 8

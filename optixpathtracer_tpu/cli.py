@@ -116,7 +116,7 @@ def cmd_render(args: argparse.Namespace) -> int:
     if cfg.model == "foveated":
         r = models.make_foveated_renderer(
             cs, probe, camera, cfg.width, cfg.height, cfg.max_depth,
-            traversal=cfg.traversal,
+            fused=cfg.fused_foveation, traversal=cfg.traversal,
         )
         gx, gy = cfg.gaze
         if gx >= 0:
@@ -196,7 +196,7 @@ def cmd_view(args: argparse.Namespace) -> int:
     if cfg.model == "foveated":
         r = models.make_foveated_renderer(
             cs, probe, camera, cfg.width, cfg.height, cfg.max_depth,
-            traversal=cfg.traversal,
+            fused=cfg.fused_foveation, traversal=cfg.traversal,
         )
     else:
         r = models.make_disney_pt_renderer(

@@ -93,18 +93,11 @@ def _zone_cfg(base: RenderConfig, zone: FoveationZone) -> RenderConfig:
     return dataclasses.replace(base, samples_per_launch=zone.spp)
 
 
-@partial(jax.jit, static_argnames=("cfg", "zone"))
-def _zone_step(
-    cs: CompiledScene,
-    probe: Probe,
-    cfg: RenderConfig,
-    zone: FoveationZone,
-    cam: CameraParams,
-    gaze: Array,  # (2,) int32 gaze center in pixels
-    accum: Vec3,  # flat (W*H,) framebuffer state
-    subframe: Array,
-):
-    """Render one zone and splat it into the flat accum buffer."""
+def _zone_pixels(cfg: RenderConfig, zone: FoveationZone, gaze: Array):
+    """Zone launch grid -> (px, py, active) with the annulus cull applied.
+
+    Static shapes; the gaze only moves a dynamic offset (the reference's
+    idx*factor + offset remap, sv4 deviceProgram.cu:419)."""
     gw, gh = zone.grid_w, zone.grid_h
     lx = jnp.tile(jnp.arange(gw, dtype=jnp.int32), gh)
     ly = jnp.repeat(jnp.arange(gh, dtype=jnp.int32), gw)
@@ -124,6 +117,22 @@ def _zone_step(
     rng = jnp.sqrt(dx * dx + dy * dy)
     in_frame = (px >= 0) & (px < cfg.width) & (py >= 0) & (py < cfg.height)
     active = (rng >= zone.r_inner) & (rng <= zone.r_outer) & in_frame
+    return px, py, active
+
+
+@partial(jax.jit, static_argnames=("cfg", "zone"))
+def _zone_step(
+    cs: CompiledScene,
+    probe: Probe,
+    cfg: RenderConfig,
+    zone: FoveationZone,
+    cam: CameraParams,
+    gaze: Array,  # (2,) int32 gaze center in pixels
+    accum: Vec3,  # flat (W*H,) framebuffer state
+    subframe: Array,
+):
+    """Render one zone and splat it into the flat accum buffer."""
+    px, py, active = _zone_pixels(cfg, zone, gaze)
 
     zcfg = _zone_cfg(cfg, zone)
     out = trace_wavefront(
@@ -131,9 +140,25 @@ def _zone_step(
         jnp.clip(px, 0, cfg.width - 1), jnp.clip(py, 0, cfg.height - 1),
         subframe, active_mask=active,
     )
+    return _splat_zone(
+        cfg, zone, px, py, active, accum, out.color, subframe
+    ), out.rays_traced
 
+
+def _splat_zone(
+    cfg: RenderConfig,
+    zone: FoveationZone,
+    px: Array,
+    py: Array,
+    active: Array,
+    accum: Vec3,
+    color_sum: Vec3,  # per-pixel radiance SUM over the zone's spp samples
+    subframe: Array,
+) -> Vec3:
+    """Average, progressively blend (non-redraw zones), and block-splat one
+    zone's colors into the flat accum buffer (sv4 deviceProgram.cu:526-552)."""
     spp = jnp.float32(zone.spp)
-    new_color = (out.color * (1.0 / spp))
+    new_color = (color_sum * (1.0 / spp))
     if not zone.redraw:
         # progressive accumulate against the previous value at the splat anchor
         anchor = jnp.clip(py, 0, cfg.height - 1) * cfg.width + jnp.clip(px, 0, cfg.width - 1)
@@ -166,12 +191,70 @@ def _zone_step(
         padded = jnp.concatenate([channel, jnp.zeros((1,), channel.dtype)])
         return padded.at[tgt].set(v, mode="promise_in_bounds")[:n_pix]
 
-    new_accum = Vec3(
+    return Vec3(
         splat(accum.x, new_color.x),
         splat(accum.y, new_color.y),
         splat(accum.z, new_color.z),
     )
-    return new_accum, out.rays_traced
+
+
+@partial(jax.jit, static_argnames=("cfg", "zones"))
+def _fused_step(
+    cs: CompiledScene,
+    probe: Probe,
+    cfg: RenderConfig,
+    zones: tuple[FoveationZone, ...],
+    cam: CameraParams,
+    gaze: Array,
+    accum: Vec3,
+    subframe: Array,
+):
+    """All zones in ONE wavefront launch (SURVEY §2.2: 'fuse the 3 zones as
+    masked wavefronts in one jit').
+
+    Each zone's pixel grid is expanded to its own spp and the expansions are
+    concatenated into a single launch with per-lane RNG counters
+    (subframe * zone_spp + sample — the exact streams of the 3-launch mode),
+    so one set of traversal sweeps replaces three: the per-dispatch floor,
+    the per-sweep cull/sort fixed costs, and the dead-lane drain are paid
+    once instead of per zone. Per-lane outputs are folded back to per-pixel
+    sums zone by zone and splatted in zone order (later zones overwrite
+    earlier ones at the 2px ring overlaps, matching the reference's three
+    sequential optixLaunches)."""
+    sf = subframe.astype(jnp.uint32)
+    pxs, pys, acts, lanes, grids = [], [], [], [], []
+    for zone in zones:
+        px, py, active = _zone_pixels(cfg, zone, gaze)
+        grids.append((px, py, active))
+        n = px.shape[0]
+        pxs.append(jnp.tile(px, zone.spp))
+        pys.append(jnp.tile(py, zone.spp))
+        acts.append(jnp.tile(active, zone.spp))
+        s = jnp.repeat(jnp.arange(zone.spp, dtype=jnp.uint32), n)
+        lanes.append(sf * jnp.uint32(zone.spp) + s)
+
+    fcfg = dataclasses.replace(cfg, samples_per_launch=1, batch_spp=False)
+    out = trace_wavefront(
+        cs, probe, fcfg, cam,
+        jnp.clip(jnp.concatenate(pxs), 0, cfg.width - 1),
+        jnp.clip(jnp.concatenate(pys), 0, cfg.height - 1),
+        subframe,
+        active_mask=jnp.concatenate(acts),
+        sample_lanes=jnp.concatenate(lanes),
+    )
+
+    offset = 0
+    for zone, (px, py, active) in zip(zones, grids):
+        n = px.shape[0]
+        m = n * zone.spp
+
+        def fold(a):
+            return a[offset:offset + m].reshape(zone.spp, n).sum(0)
+
+        color_sum = Vec3(fold(out.color.x), fold(out.color.y), fold(out.color.z))
+        offset += m
+        accum = _splat_zone(cfg, zone, px, py, active, accum, color_sum, subframe)
+    return accum, out.rays_traced
 
 
 class FoveatedRenderer:
@@ -184,12 +267,16 @@ class FoveatedRenderer:
         config: RenderConfig,
         camera: Camera,
         foveation: FoveationConfig | None = None,
+        fused: bool = False,
     ):
         self.cs = compiled_scene
         self.probe = probe
         self.config = config
         self.camera = camera
         self.fov = foveation or FoveationConfig()
+        # fused=True traces all zones in ONE wavefront launch (same RNG
+        # streams and estimator as the 3-launch mode; one set of sweeps)
+        self.fused = fused
         self.zones = self.fov.zones(config.width, config.height)
         n = config.width * config.height
         self.accum = Vec3.zeros((n,))
@@ -213,12 +300,19 @@ class FoveatedRenderer:
             [self.gaze[0], self.config.height - 1 - self.gaze[1]], jnp.int32
         )  # image y (top-first) -> buffer y (bottom-first)
         rays = 0.0
-        for zone in self.zones:
-            self.accum, r = _zone_step(
-                self.cs, self.probe, self.config, zone, cam, gaze,
+        if self.fused:
+            self.accum, r = _fused_step(
+                self.cs, self.probe, self.config, self.zones, cam, gaze,
                 self.accum, jnp.uint32(self.subframe_index),
             )
-            rays += float(r)
+            rays = float(r)
+        else:
+            for zone in self.zones:
+                self.accum, r = _zone_step(
+                    self.cs, self.probe, self.config, zone, cam, gaze,
+                    self.accum, jnp.uint32(self.subframe_index),
+                )
+                rays += float(r)
         jax.block_until_ready(self.accum.x)
         self.subframe_index += 1
         self.last_rays = rays

@@ -540,6 +540,7 @@ def trace_wavefront(
     subframe: Array,
     active_mask: Array | None = None,
     area_light=None,
+    sample_lanes: Array | None = None,
 ) -> SampleOutput:
     """Render cfg.samples_per_launch paths for each pixel in the wavefront.
 
@@ -547,18 +548,31 @@ def trace_wavefront(
     full frame, sharded tile, or foveation ring). active_mask (optional bool
     (N,)) culls lanes up-front — the foveation annulus test (sv4
     deviceProgram.cu:421-425): culled lanes trace nothing and output zeros.
+
+    sample_lanes (optional (N,) uint32): explicit per-lane RNG sample counter
+    (the value that replaces `subframe * spp + sample_index` in the tea seed).
+    When given, each lane is ONE sample the caller expanded itself — lanes of
+    different pixels may carry different effective spp (the fused-foveation
+    launch concatenates zones of spp 1/2/8 into one wavefront). No spp loop,
+    no fold: outputs are per-LANE (color composited at spp=1), and the caller
+    aggregates lanes back to pixels. Streams are identical to the unfused
+    launches when the caller passes the same counters.
     """
     n_pix = pixel_x.shape[0]
     spp = cfg.samples_per_launch
+    fused_lanes = sample_lanes is not None
     # batched-spp mode: expand the wavefront to pixels x samples so the whole
     # launch is ONE set of traversal sweeps (bulk ops are ~size-free, see cfg)
-    batch = cfg.batch_spp and spp > 1
+    batch = cfg.batch_spp and spp > 1 and not fused_lanes
     if batch:
         pixel_x = jnp.tile(pixel_x, spp)
         pixel_y = jnp.tile(pixel_y, spp)
         if active_mask is not None:
             active_mask = jnp.tile(active_mask, spp)
         s_lanes = jnp.repeat(jnp.arange(spp, dtype=jnp.uint32), n_pix)
+        loop_spp = 1
+    elif fused_lanes:
+        s_lanes = None
         loop_spp = 1
     else:
         s_lanes = None
@@ -579,10 +593,12 @@ def trace_wavefront(
         (acc_color, acc_alpha, acc_normal, acc_albedo, acc_backplate,
          acc_rays, acc_ovf) = carry
         # per (pixel, subframe, sample) stream
-        s_eff = s_lanes if s_lanes is not None else s
-        state = RngState.seed(
-            tea(pix_index, subframe.astype(jnp.uint32) * cfg.samples_per_launch + s_eff)
-        )
+        if fused_lanes:
+            seed_ctr = sample_lanes
+        else:
+            s_eff = s_lanes if s_lanes is not None else s
+            seed_ctr = subframe.astype(jnp.uint32) * cfg.samples_per_launch + s_eff
+        state = RngState.seed(tea(pix_index, seed_ctr))
 
         if cfg.antialias:
             state, jx = randf(state)
@@ -969,7 +985,8 @@ def trace_wavefront(
         albedo = fold(albedo)
         backplate = fold(backplate, reduce="mean")
 
-    sppf = jnp.float32(spp)
+    # fused-lane launches are per-lane single samples: no spp normalization
+    sppf = jnp.float32(1 if fused_lanes else spp)
     alpha = alpha / sppf
     normal = normal / sppf
     albedo = albedo / sppf

@@ -72,14 +72,17 @@ def make_spectral_renderer(
 def make_foveated_renderer(
     cs: CompiledScene, probe: Probe, camera: Camera,
     width=3840, height=2160, max_depth=4, foveation: FoveationConfig | None = None,
-    **overrides,
+    fused: bool = False, **overrides,
 ) -> FoveatedRenderer:
     """Config 5: sv4 VMV'23 — 3-zone foveation at 3840x2160, depth 4,
-    radii 157/515, zone spp 1/2/8 (SimplePathtracer.cpp:20-21,135-215)."""
+    radii 157/515, zone spp 1/2/8 (SimplePathtracer.cpp:20-21,135-215).
+    fused=True traces all zones in one wavefront launch."""
     cfg = RenderConfig(width=width, height=height, max_depth=max_depth, **overrides)
     if "traversal" not in overrides:
         cfg = dataclasses.replace(auto_tune(cfg, cs.num_triangles), **overrides)
-    return FoveatedRenderer(cs, probe, cfg, camera, foveation or FoveationConfig())
+    return FoveatedRenderer(
+        cs, probe, cfg, camera, foveation or FoveationConfig(), fused=fused
+    )
 
 
 PRESETS = {

@@ -53,6 +53,9 @@ class RunConfig:
     checkpoint: str = ""  # resume/save progressive state here
     metrics: str = ""  # JSONL per-frame metrics path
     gaze: tuple = (-1, -1)  # foveated: gaze pixel (defaults to center)
+    fused_foveation: bool = False  # trace all foveation zones in ONE
+    #   wavefront launch (same RNG streams/estimator as the reference's
+    #   three sequential optixLaunches; pays the per-sweep floors once)
     camera: CameraSpec = dataclasses.field(default_factory=CameraSpec)
     foveation: FoveationConfig = dataclasses.field(default_factory=FoveationConfig)
 
@@ -119,6 +122,11 @@ def add_config_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--lookat", type=float, nargs=3, default=None)
     parser.add_argument("--fov-y", type=float, default=None, dest="fov_y")
     parser.add_argument("--gaze", type=int, nargs=2, default=None)
+    parser.add_argument(
+        "--fused-foveation", action="store_true", default=None,
+        dest="fused_foveation",
+        help="trace all foveation zones in one wavefront launch instead of "
+             "three (identical streams/estimator; pays dispatch floors once)")
 
 
 def config_from_args(args: argparse.Namespace) -> RunConfig:
@@ -128,7 +136,7 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
             cfg = RunConfig.from_json(f.read())
     for field in ("model", "scene", "probe", "out", "frames", "width", "height",
                   "spp", "max_depth", "traversal", "emission_all_bounces",
-                  "nee_final_bounce", "nee_rr",
+                  "nee_final_bounce", "nee_rr", "fused_foveation",
                   "denoise", "tonemap", "exposure", "checkpoint", "metrics"):
         v = getattr(args, field, None)
         if v is not None:

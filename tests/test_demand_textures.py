@@ -1,0 +1,189 @@
+"""Demand-loaded sparse textures (io/demand.py) — the TPU equivalent of the
+reference's disabled DemandLoading/ImageSource libraries.
+
+Contract under test (DemandLoader.h:30-60 semantics):
+* non-resident sample -> fallback color + page request bit
+* after process_requests, the same sample is resident and EXACTLY equals
+  full-image wrap bilinear (gutter texels make tile-local bilinear exact)
+* LRU eviction under a tiny pool keeps serving (re-request after evict)
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from optixpathtracer_tpu.io.demand import (
+    STORE,
+    TILE,
+    ArraySource,
+    CheckerBoardSource,
+    DemandTextureManager,
+    MandelbrotSource,
+    sample_demand,
+)
+
+
+def ref_bilinear(img: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Full-image wrap bilinear, float32 math (mirrors TexturePool)."""
+    h, w = img.shape[:2]
+    uu = (u.astype(np.float32) % np.float32(1.0)) * np.float32(w) - np.float32(0.5)
+    vv = (v.astype(np.float32) % np.float32(1.0)) * np.float32(h) - np.float32(0.5)
+    x0 = np.floor(uu)
+    y0 = np.floor(vv)
+    fx = (uu - x0)[:, None]
+    fy = (vv - y0)[:, None]
+
+    def at(x, y):
+        return img[np.mod(y.astype(np.int64), h), np.mod(x.astype(np.int64), w)]
+
+    c00 = at(x0, y0)
+    c10 = at(x0 + 1, y0)
+    c01 = at(x0, y0 + 1)
+    c11 = at(x0 + 1, y0 + 1)
+    top = c00 * (1 - fx) + c10 * fx
+    bot = c01 * (1 - fx) + c11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+@pytest.fixture(scope="module")
+def mgr_and_img():
+    rng = np.random.default_rng(7)
+    # deliberately NOT a multiple of TILE on either axis
+    img = rng.uniform(0, 1, (130, 200, 3)).astype(np.float32)
+    return DemandTextureManager([ArraySource(img)], capacity=64), img
+
+
+def _uvs(n=4096, seed=3):
+    rng = np.random.default_rng(seed)
+    return (rng.uniform(0, 1, n).astype(np.float32),
+            rng.uniform(0, 1, n).astype(np.float32))
+
+
+def test_miss_then_resident_exact(mgr_and_img):
+    mgr, img = mgr_and_img
+    u, v = _uvs()
+    tid = jnp.zeros(u.shape, jnp.int32)
+    sample = jax.jit(sample_demand)
+
+    color, resident, req = sample(mgr.pool, tid, jnp.asarray(u), jnp.asarray(v))
+    assert not bool(np.asarray(resident).any())
+    # miss color == the texture's fallback (mean probe)
+    fb = np.asarray(mgr.pool.fallback[0])
+    np.testing.assert_allclose(np.asarray(color.x), fb[0], rtol=1e-6)
+    n_req = int(np.asarray(req).sum())
+    assert n_req > 0
+    loaded = mgr.process_requests(req)
+    assert loaded == n_req
+
+    color2, resident2, req2 = sample(mgr.pool, tid, jnp.asarray(u), jnp.asarray(v))
+    assert bool(np.asarray(resident2).all())
+    assert int(np.asarray(req2).sum()) == 0
+    ref = ref_bilinear(img, u, v)
+    got = np.stack([np.asarray(color2.x), np.asarray(color2.y), np.asarray(color2.z)], -1)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_wrap_seams_exact(mgr_and_img):
+    mgr, img = mgr_and_img
+    # u/v straddling the wrap seam and tile boundaries
+    eps = np.float32(1e-4)
+    u = np.array([0.0 + eps, 1.0 - eps, 0.5, TILE / 200 + eps, TILE / 200 - eps],
+                 np.float32)
+    v = np.array([1.0 - eps, 0.0 + eps, TILE / 130, 0.7, 0.3], np.float32)
+    tid = jnp.zeros(u.shape, jnp.int32)
+    _, _, req = sample_demand(mgr.pool, tid, jnp.asarray(u), jnp.asarray(v))
+    mgr.process_requests(req)
+    color, resident, _ = sample_demand(mgr.pool, tid, jnp.asarray(u), jnp.asarray(v))
+    assert bool(np.asarray(resident).all())
+    ref = ref_bilinear(img, u, v)
+    got = np.stack([np.asarray(color.x), np.asarray(color.y), np.asarray(color.z)], -1)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_negative_texid_white_no_request(mgr_and_img):
+    mgr, _ = mgr_and_img
+    u, v = _uvs(64)
+    tid = jnp.full(u.shape, -1, jnp.int32)
+    color, resident, req = sample_demand(mgr.pool, tid, jnp.asarray(u), jnp.asarray(v))
+    assert not bool(np.asarray(resident).any())
+    assert int(np.asarray(req).sum()) == 0
+    np.testing.assert_allclose(np.asarray(color.x), 1.0)
+
+
+def test_lru_eviction_keeps_serving():
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (4 * TILE, 4 * TILE, 3)).astype(np.float32)  # 16 pages
+    mgr = DemandTextureManager([ArraySource(img)], capacity=4)
+    u, v = _uvs(512, seed=1)
+    tid = jnp.zeros(u.shape, jnp.int32)
+    total_pages = mgr.num_pages
+    assert total_pages == 16
+    for _ in range(8):
+        _, _, req = sample_demand(mgr.pool, tid, jnp.asarray(u), jnp.asarray(v))
+        if not mgr.process_requests(req):
+            break
+    # pool can never hold all 16 pages: eviction must have happened and the
+    # table never exceeds capacity
+    assert mgr.pages_evicted > 0
+    assert (np.asarray(mgr.pool.page_table) >= 0).sum() <= 4
+    # resident pages still sample exactly
+    color, resident, _ = sample_demand(mgr.pool, tid, jnp.asarray(u), jnp.asarray(v))
+    res = np.asarray(resident)
+    assert res.any()
+    ref = ref_bilinear(img, u, v)
+    got = np.stack([np.asarray(color.x), np.asarray(color.y), np.asarray(color.z)], -1)
+    np.testing.assert_allclose(got[res], ref[res], atol=1e-5)
+
+
+def test_multi_texture_page_spaces():
+    rng = np.random.default_rng(5)
+    img_a = rng.uniform(0, 1, (TILE, TILE, 3)).astype(np.float32)
+    img_b = rng.uniform(0, 1, (2 * TILE, TILE, 3)).astype(np.float32)
+    mgr = DemandTextureManager([ArraySource(img_a), ArraySource(img_b)], capacity=8)
+    assert mgr.num_pages == 3
+    u, v = _uvs(256, seed=9)
+    tid = jnp.asarray((np.arange(256) % 2).astype(np.int32))
+    _, _, req = sample_demand(mgr.pool, tid, jnp.asarray(u), jnp.asarray(v))
+    mgr.process_requests(req)
+    color, resident, _ = sample_demand(mgr.pool, tid, jnp.asarray(u), jnp.asarray(v))
+    assert bool(np.asarray(resident).all())
+    got = np.stack([np.asarray(color.x), np.asarray(color.y), np.asarray(color.z)], -1)
+    t = np.asarray(tid)
+    np.testing.assert_allclose(got[t == 0], ref_bilinear(img_a, u[t == 0], v[t == 0]), atol=1e-5)
+    np.testing.assert_allclose(got[t == 1], ref_bilinear(img_b, u[t == 1], v[t == 1]), atol=1e-5)
+
+
+def test_procedural_sources():
+    cb = CheckerBoardSource(width=256, height=256, squares_per_side=8)
+    blk = cb.read_texel_block(np.arange(-1, STORE - 1), np.arange(-1, STORE - 1))
+    assert blk.shape == (STORE, STORE, 3)
+    # square size 32: texels 0..31 one color, 32 flips
+    row = cb.read_texel_block(np.array([0, 31, 32]), np.array([0]))
+    assert np.allclose(row[0, 0], row[0, 1]) and not np.allclose(row[0, 0], row[0, 2])
+    mb = MandelbrotSource(width=128, height=128, max_iter=16)
+    blk2 = mb.read_texel_block(np.arange(0, 64), np.arange(0, 64))
+    assert blk2.shape == (64, 64, 3) and np.isfinite(blk2).all()
+    # interior of the set escapes never -> t == 1 at (re, im) ~ (-0.2, 0)
+    x = int((-0.2 + 2.2) / 3.2 * 128)
+    y = int((0.0 + 1.6) / 3.2 * 128)
+    t = mb.read_texel_block(np.array([x]), np.array([y]))[0, 0, 0]
+    assert t == 1.0
+
+
+def test_feedback_loop_converges_with_capacity():
+    """Render-loop shape: repeated sample -> request -> load passes converge
+    to full residency when capacity suffices (the reference's launch-prepare/
+    launch-process cycle, DemandLoaderImpl)."""
+    cb = CheckerBoardSource(width=8 * TILE, height=8 * TILE, squares_per_side=8)
+    mgr = DemandTextureManager([cb], capacity=70)
+    u, v = _uvs(8192, seed=11)
+    tid = jnp.zeros(u.shape, jnp.int32)
+    passes = 0
+    while True:
+        _, resident, req = sample_demand(mgr.pool, tid, jnp.asarray(u), jnp.asarray(v))
+        if bool(np.asarray(resident).all()):
+            break
+        assert mgr.process_requests(req) > 0
+        passes += 1
+        assert passes <= 3, "feedback loop failed to converge"
+    assert passes == 1  # one service pass is enough at this capacity
