@@ -72,11 +72,16 @@ def make_spectral_renderer(
 def make_foveated_renderer(
     cs: CompiledScene, probe: Probe, camera: Camera,
     width=3840, height=2160, max_depth=4, foveation: FoveationConfig | None = None,
-    fused: bool = False, **overrides,
+    fused: bool | None = None, **overrides,
 ) -> FoveatedRenderer:
     """Config 5: sv4 VMV'23 — 3-zone foveation at 3840x2160, depth 4,
     radii 157/515, zone spp 1/2/8 (SimplePathtracer.cpp:20-21,135-215).
-    fused=True traces all zones in one wavefront launch."""
+    fused=True traces all zones in one wavefront launch; None = auto (fused
+    at interactive sizes, where one launch amortizes the per-dispatch and
+    per-sweep floors the three zone launches each pay — measured +16% at
+    640x480, neutral at 4K, PERF_NOTES.md)."""
+    if fused is None:
+        fused = width * height <= 1024 * 768
     cfg = RenderConfig(width=width, height=height, max_depth=max_depth, **overrides)
     if "traversal" not in overrides:
         cfg = dataclasses.replace(auto_tune(cfg, cs.num_triangles), **overrides)

@@ -53,9 +53,10 @@ class RunConfig:
     checkpoint: str = ""  # resume/save progressive state here
     metrics: str = ""  # JSONL per-frame metrics path
     gaze: tuple = (-1, -1)  # foveated: gaze pixel (defaults to center)
-    fused_foveation: bool = False  # trace all foveation zones in ONE
+    fused_foveation: bool | None = None  # trace all foveation zones in ONE
     #   wavefront launch (same RNG streams/estimator as the reference's
-    #   three sequential optixLaunches; pays the per-sweep floors once)
+    #   three sequential optixLaunches; pays the per-sweep floors once);
+    #   None = auto (fused at interactive sizes, measured +16% at 640x480)
     camera: CameraSpec = dataclasses.field(default_factory=CameraSpec)
     foveation: FoveationConfig = dataclasses.field(default_factory=FoveationConfig)
 

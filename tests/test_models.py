@@ -72,3 +72,8 @@ def test_foveated_preset():
     frame = r.render()
     assert frame.shape == (72, 96, 4)
     assert r.stats()["frames"] == 1
+    # auto-fused rule: one launch at interactive sizes, 3-launch at 4K
+    # (measured +16% / neutral respectively, PERF_NOTES.md)
+    assert r.fused is True
+    r4k = models.make_foveated_renderer(cs, probe, cam)  # default 3840x2160
+    assert r4k.fused is False
