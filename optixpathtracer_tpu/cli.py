@@ -116,7 +116,10 @@ def cmd_render(args: argparse.Namespace) -> int:
     if cfg.model == "foveated":
         r = models.make_foveated_renderer(
             cs, probe, camera, cfg.width, cfg.height, cfg.max_depth,
+            foveation=cfg.foveation,
             fused=cfg.fused_foveation, traversal=cfg.traversal,
+            emission_all_bounces=cfg.emission_all_bounces,
+            nee_final_bounce=cfg.nee_final_bounce, nee_rr=cfg.nee_rr,
         )
         gx, gy = cfg.gaze
         if gx >= 0:
@@ -196,7 +199,10 @@ def cmd_view(args: argparse.Namespace) -> int:
     if cfg.model == "foveated":
         r = models.make_foveated_renderer(
             cs, probe, camera, cfg.width, cfg.height, cfg.max_depth,
+            foveation=cfg.foveation,
             fused=cfg.fused_foveation, traversal=cfg.traversal,
+            emission_all_bounces=cfg.emission_all_bounces,
+            nee_final_bounce=cfg.nee_final_bounce, nee_rr=cfg.nee_rr,
         )
     else:
         r = models.make_disney_pt_renderer(

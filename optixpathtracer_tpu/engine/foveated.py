@@ -198,6 +198,60 @@ def _splat_zone(
     )
 
 
+def _expand_zone_lanes(
+    cfg: RenderConfig, zones: tuple[FoveationZone, ...], gaze: Array, sf: Array
+):
+    """Expand every zone's pixel grid to per-sample LANES and concatenate.
+
+    Returns (px, py, active, lane_counters, grids): one entry per lane, plus
+    the per-zone (px, py, active) grids for the fold. Lane RNG counters are
+    subframe * zone_spp + sample — the exact streams of the 3-launch mode —
+    so any consumer (single-device fused launch, lane-sharded multi-device)
+    is bit-identical to the sequential zone launches."""
+    pxs, pys, acts, lanes, grids = [], [], [], [], []
+    for zone in zones:
+        px, py, active = _zone_pixels(cfg, zone, gaze)
+        grids.append((px, py, active))
+        n = px.shape[0]
+        pxs.append(jnp.tile(px, zone.spp))
+        pys.append(jnp.tile(py, zone.spp))
+        acts.append(jnp.tile(active, zone.spp))
+        s = jnp.repeat(jnp.arange(zone.spp, dtype=jnp.uint32), n)
+        lanes.append(sf * jnp.uint32(zone.spp) + s)
+    return (
+        jnp.clip(jnp.concatenate(pxs), 0, cfg.width - 1),
+        jnp.clip(jnp.concatenate(pys), 0, cfg.height - 1),
+        jnp.concatenate(acts),
+        jnp.concatenate(lanes),
+        grids,
+    )
+
+
+def _fold_and_splat(
+    cfg: RenderConfig,
+    zones: tuple[FoveationZone, ...],
+    grids: list,
+    color: Vec3,  # per-lane colors in _expand_zone_lanes concat order
+    accum: Vec3,
+    subframe: Array,
+) -> Vec3:
+    """Reduce each zone's lanes to per-pixel sums and splat in zone order
+    (later zones overwrite earlier ones at the 2px ring overlaps, matching
+    the reference's three sequential optixLaunches)."""
+    offset = 0
+    for zone, (px, py, active) in zip(zones, grids):
+        n = px.shape[0]
+        m = n * zone.spp
+
+        def fold(a, offset=offset, m=m, n=n, spp=zone.spp):
+            return a[offset:offset + m].reshape(spp, n).sum(0)
+
+        color_sum = Vec3(fold(color.x), fold(color.y), fold(color.z))
+        offset += m
+        accum = _splat_zone(cfg, zone, px, py, active, accum, color_sum, subframe)
+    return accum
+
+
 @partial(jax.jit, static_argnames=("cfg", "zones"))
 def _fused_step(
     cs: CompiledScene,
@@ -222,38 +276,13 @@ def _fused_step(
     earlier ones at the 2px ring overlaps, matching the reference's three
     sequential optixLaunches)."""
     sf = subframe.astype(jnp.uint32)
-    pxs, pys, acts, lanes, grids = [], [], [], [], []
-    for zone in zones:
-        px, py, active = _zone_pixels(cfg, zone, gaze)
-        grids.append((px, py, active))
-        n = px.shape[0]
-        pxs.append(jnp.tile(px, zone.spp))
-        pys.append(jnp.tile(py, zone.spp))
-        acts.append(jnp.tile(active, zone.spp))
-        s = jnp.repeat(jnp.arange(zone.spp, dtype=jnp.uint32), n)
-        lanes.append(sf * jnp.uint32(zone.spp) + s)
-
+    px, py, act, lanes, grids = _expand_zone_lanes(cfg, zones, gaze, sf)
     fcfg = dataclasses.replace(cfg, samples_per_launch=1, batch_spp=False)
     out = trace_wavefront(
-        cs, probe, fcfg, cam,
-        jnp.clip(jnp.concatenate(pxs), 0, cfg.width - 1),
-        jnp.clip(jnp.concatenate(pys), 0, cfg.height - 1),
-        subframe,
-        active_mask=jnp.concatenate(acts),
-        sample_lanes=jnp.concatenate(lanes),
+        cs, probe, fcfg, cam, px, py, subframe,
+        active_mask=act, sample_lanes=lanes,
     )
-
-    offset = 0
-    for zone, (px, py, active) in zip(zones, grids):
-        n = px.shape[0]
-        m = n * zone.spp
-
-        def fold(a):
-            return a[offset:offset + m].reshape(zone.spp, n).sum(0)
-
-        color_sum = Vec3(fold(out.color.x), fold(out.color.y), fold(out.color.z))
-        offset += m
-        accum = _splat_zone(cfg, zone, px, py, active, accum, color_sum, subframe)
+    accum = _fold_and_splat(cfg, zones, grids, out.color, accum, subframe)
     return accum, out.rays_traced
 
 

@@ -848,6 +848,10 @@ def trace_wavefront(
                 # eta/done/bsdf_pdf) is never consumed again, so the Disney
                 # sample/eval below is skipped statically as well
                 rays = path["rays"] + jnp.sum(active.astype(jnp.float32))
+                if cfg.fused_shadows:
+                    # the combined sweep still traced the PREVIOUS bounce's
+                    # pending shadow rays — count them
+                    rays = rays + jnp.sum(path["pend_valid"].astype(jnp.float32))
                 out = dict(
                     path, radiance=radiance, alpha=alpha, normal=normal_aov,
                     albedo=albedo_aov, state=state, rays=rays, ovf=ovf,

@@ -15,8 +15,9 @@ TPU re-expression (no sparse textures, no device-side page faults):
   -> pool slot or -1.
 * `sample_demand` is a pure jitted function: page-table lookup + one wide
   gather from the pool for resident pages, per-texture fallback color for
-  misses, AND a `(num_pages,)` request bitmap built with one scatter — the
-  TPU analog of the reference's page-request buffer.
+  misses, AND a `(num_pages,)` page-usage bitmap built with one scatter —
+  the TPU analog of the reference's page-request buffer (usage is reported
+  for resident pages too, which is what drives the LRU).
 * `DemandTextureManager` (host) plays DemandLoaderImpl: it services request
   bitmaps between launches — reads tiles from an ImageSource, assigns slots
   with LRU eviction, and re-uploads only the touched pool rows and the page
@@ -143,10 +144,13 @@ def sample_demand(
 ) -> tuple[Vec3, Array, Array]:
     """Bilinear sample with wrap addressing from the sparse tile pool.
 
-    Returns (color, resident_mask, request_bitmap). Non-resident lookups
-    return the texture's fallback color and set their page's request bit —
-    the reference's paging kernel contract (PagingSystemKernels.cu) as a
-    pure function. tex_id < 0 samples nothing (white, no request).
+    Returns (color, resident_mask, usage_bitmap). Non-resident lookups
+    return the texture's fallback color. The usage bitmap records EVERY
+    valid page touch — resident and non-resident alike — mirroring the
+    reference's optixPagingMapOrRequest contract (PagingSystemKernels.cu),
+    whose usage reports are what drive its LRU: the host pager loads the
+    non-resident bits and refreshes the eviction ticks of the resident
+    ones. tex_id < 0 samples nothing (white, no usage).
     """
     tid = jnp.maximum(tex_id, 0)
     w = pool.width[tid]
@@ -194,11 +198,10 @@ def sample_demand(
         jnp.where(valid, jnp.where(resident, out.y, fb[..., 1]), 1.0),
         jnp.where(valid, jnp.where(resident, out.z, fb[..., 2]), 1.0),
     )
-    want = valid & ~resident
-    requests = jnp.zeros((pool.num_pages,), jnp.bool_).at[
-        jnp.where(want, page, 0)
-    ].max(want, mode="drop")
-    return color, resident & valid, requests
+    usage = jnp.zeros((pool.num_pages,), jnp.bool_).at[
+        jnp.where(valid, page, 0)
+    ].max(valid, mode="drop")
+    return color, resident & valid, usage
 
 
 class DemandTextureManager:
@@ -262,15 +265,21 @@ class DemandTextureManager:
         return flat[:, 0], flat[:, 1], flat[:, 2]
 
     def process_requests(self, requests) -> int:
-        """Service one launch's request bitmap. Returns pages loaded."""
+        """Service one launch's usage bitmap: refresh the eviction tick of
+        every touched RESIDENT page (true LRU), load the non-resident ones.
+        Returns pages loaded."""
         req = np.asarray(requests)
         pages = np.nonzero(req)[0]
-        pages = pages[self._page_table[pages] < 0]
+        if len(pages) == 0:
+            return 0
+        self._clock += 1
+        is_resident = self._page_table[pages] >= 0
+        self._slot_used[self._page_table[pages[is_resident]]] = self._clock
+        pages = pages[~is_resident]
         if len(pages) == 0:
             return 0
         n_load = min(len(pages), self.capacity)
         pages = pages[:n_load]
-        self._clock += 1
         # free slots first, then LRU
         order = np.argsort(self._slot_used, kind="stable")
         slots = order[:n_load]

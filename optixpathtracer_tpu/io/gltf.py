@@ -145,38 +145,51 @@ def load_gltf(path: str) -> tuple[HostScene, list[dict]]:
                 img_idx = gltf["textures"][ti]["source"]
                 img = gltf["images"][img_idx]
                 uri = img.get("uri", "")
-                if uri and not uri.startswith("data:"):
-                    tex_cache[ti] = scene.add_texture(
-                        load_image(os.path.join(base_dir, uri), flip_y=False)
-                    )
-                else:
-                    # embedded image: base64 data URI or GLB bufferView bytes
-                    # (tinygltf decodes both; Scene.cpp:292-316 uploads them)
-                    raw = None
-                    if uri.startswith("data:"):
-                        import base64
-
-                        raw = base64.b64decode(uri.split(",", 1)[1])
-                    elif "bufferView" in img:
-                        bv = gltf["bufferViews"][img["bufferView"]]
-                        buf = buffers[bv.get("buffer", 0)]
-                        off = bv.get("byteOffset", 0)
-                        raw = bytes(buf[off : off + bv["byteLength"]])
-                    if raw is not None:
-                        import io as _io
-
-                        from PIL import Image
-
-                        arr = (
-                            np.asarray(
-                                Image.open(_io.BytesIO(raw)).convert("RGB"),
-                                np.float32,
-                            )
-                            / 255.0
+                # an undecodable image (unsupported codec like KTX2, a
+                # non-base64 data URI, a missing file) degrades to the
+                # factor-only material instead of failing the whole load
+                try:
+                    if uri and not uri.startswith("data:"):
+                        tex_cache[ti] = scene.add_texture(
+                            load_image(os.path.join(base_dir, uri), flip_y=False)
                         )
-                        tex_cache[ti] = scene.add_texture(arr)
                     else:
-                        tex_cache[ti] = -1
+                        # embedded image: base64 data URI or GLB bufferView
+                        # bytes (tinygltf decodes both; Scene.cpp:292-316)
+                        raw = None
+                        if uri.startswith("data:"):
+                            import base64
+
+                            meta, _, payload = uri.partition(",")
+                            if not meta.endswith(";base64"):
+                                raise ValueError(f"unsupported data URI: {meta}")
+                            raw = base64.b64decode(payload)
+                        elif "bufferView" in img:
+                            bv = gltf["bufferViews"][img["bufferView"]]
+                            buf = buffers[bv.get("buffer", 0)]
+                            off = bv.get("byteOffset", 0)
+                            raw = bytes(buf[off : off + bv["byteLength"]])
+                        if raw is not None:
+                            import io as _io
+
+                            from PIL import Image
+
+                            arr = (
+                                np.asarray(
+                                    Image.open(_io.BytesIO(raw)).convert("RGB"),
+                                    np.float32,
+                                )
+                                / 255.0
+                            )
+                            tex_cache[ti] = scene.add_texture(arr)
+                        else:
+                            tex_cache[ti] = -1
+                except Exception as e:  # noqa: BLE001 — any decode failure
+                    import warnings
+
+                    warnings.warn(f"glTF texture {ti} undecodable, using "
+                                  f"material factors only: {e}")
+                    tex_cache[ti] = -1
             tex_id = tex_cache[ti]
         return make_material(
             color=tuple(base[:3]),

@@ -36,9 +36,10 @@ from ..core.math import Vec3
 from ..engine.foveated import (
     FoveationConfig,
     FoveationZone,
-    _splat_zone,
-    _zone_pixels,
+    _expand_zone_lanes,
+    _fold_and_splat,
 )
+from ..ops import tonemap
 from ..engine.wavefront import CameraParams, RenderConfig, trace_wavefront
 from ..lights.probe import Probe
 
@@ -98,43 +99,19 @@ def make_fused_foveated_step(
     @jax.jit
     def step(cam: CameraParams, gaze: Array, accum: Vec3, subframe: Array):
         sf = subframe.astype(jnp.uint32)
-        pxs, pys, acts, lanes_l, grids = [], [], [], [], []
-        for zone in zones:
-            px, py, active = _zone_pixels(cfg, zone, gaze)
-            grids.append((px, py, active))
-            nz = px.shape[0]
-            pxs.append(jnp.tile(px, zone.spp))
-            pys.append(jnp.tile(py, zone.spp))
-            acts.append(jnp.tile(active, zone.spp))
-            s = jnp.repeat(jnp.arange(zone.spp, dtype=jnp.uint32), nz)
-            lanes_l.append(sf * jnp.uint32(zone.spp) + s)
-
-        px = jnp.clip(jnp.concatenate(pxs), 0, cfg.width - 1)
-        py = jnp.clip(jnp.concatenate(pys), 0, cfg.height - 1)
-        act = jnp.concatenate(acts)
-        lanes = jnp.concatenate(lanes_l)
+        # the same lane expansion as the single-device fused launch
+        # (engine/foveated._expand_zone_lanes) — identical RNG counters, so
+        # only the lane->device assignment differs from fused single-chip
+        px, py, act, lanes, grids = _expand_zone_lanes(cfg, zones, gaze, sf)
 
         color, rays = shard(
             cs, probe, cam,
             rr(px, 0), rr(py, 0), rr(act, False), rr(lanes, 0), subframe,
         )
         # fold back to concat order (the implicit cross-shard gather), then
-        # reduce each zone's lanes to per-pixel sums and splat in zone order
+        # reduce and splat exactly as the single-device fused step does
         color = Vec3(unrr(color.x), unrr(color.y), unrr(color.z))
-        offset = 0
-        for zone, (zpx, zpy, zact) in zip(zones, grids):
-            nz = zpx.shape[0]
-            m = nz * zone.spp
-
-            def fold(a):
-                return a[offset:offset + m].reshape(zone.spp, nz).sum(0)
-
-            color_sum = Vec3(fold(color.x), fold(color.y), fold(color.z))
-            offset += m
-            accum = _splat_zone(
-                cfg, zone, zpx, zpy, zact, accum, color_sum, subframe
-            )
-        return accum, rays
+        return _fold_and_splat(cfg, zones, grids, color, accum, subframe), rays
 
     return step
 
@@ -180,7 +157,7 @@ class DistributedFoveatedRenderer:
         self.camera = camera
         self.subframe_index = 0
 
-    def render(self) -> None:
+    def render(self) -> np.ndarray:
         t0 = time.perf_counter()
         cam = CameraParams.from_camera(self.camera)
         gaze = jnp.asarray(
@@ -193,6 +170,17 @@ class DistributedFoveatedRenderer:
         self.subframe_index += 1
         self.last_rays = float(rays)
         self._frame_times.append(time.perf_counter() - t0)
+        return self.frame()
+
+    def frame(self, exposure_stops: float = 2.0) -> np.ndarray:
+        """Tone-mapped display frame (sv4: exposure 2^2 + Reinhard + sRGB) —
+        same contract as engine.foveated.FoveatedRenderer.frame."""
+        disp = tonemap.finalize(
+            self.accum, mode=tonemap.TONEMAP_REINHARD, exposure_stops=exposure_stops
+        )
+        img = tonemap.pack_rgba8(disp)
+        h, w = self.config.height, self.config.width
+        return np.asarray(img).reshape(h, w, 4)[::-1]
 
     def accum_image(self) -> np.ndarray:
         h, w = self.config.height, self.config.width

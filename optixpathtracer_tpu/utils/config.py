@@ -124,10 +124,12 @@ def add_config_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--fov-y", type=float, default=None, dest="fov_y")
     parser.add_argument("--gaze", type=int, nargs=2, default=None)
     parser.add_argument(
-        "--fused-foveation", action="store_true", default=None,
-        dest="fused_foveation",
+        "--fused-foveation", action=argparse.BooleanOptionalAction,
+        default=None, dest="fused_foveation",
         help="trace all foveation zones in one wavefront launch instead of "
-             "three (identical streams/estimator; pays dispatch floors once)")
+             "three (identical streams/estimator; pays dispatch floors once); "
+             "--no-fused-foveation forces the 3-launch mode; default: auto "
+             "(fused at interactive sizes)")
 
 
 def config_from_args(args: argparse.Namespace) -> RunConfig:

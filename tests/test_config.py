@@ -49,3 +49,15 @@ def test_auto_tune_cpu_picks_lockstep():
     cfg = auto_tune(RenderConfig(width=64, height=48, traversal="bfs"))
     assert cfg.traversal == "lockstep"
     assert cfg.dispatch_tiles == 1
+
+
+def test_fused_foveation_tri_state():
+    """--fused-foveation / --no-fused-foveation / absent (auto) must map to
+    True / False / None — the auto-enable rule needs a real off switch."""
+    for argv, want in ([["--fused-foveation"], True],
+                       [["--no-fused-foveation"], False],
+                       [[], None]):
+        parser = argparse.ArgumentParser()
+        add_config_args(parser)
+        cfg = config_from_args(parser.parse_args(argv))
+        assert cfg.fused_foveation is want, (argv, cfg.fused_foveation)

@@ -77,7 +77,10 @@ def test_miss_then_resident_exact(mgr_and_img):
 
     color2, resident2, req2 = sample(mgr.pool, tid, jnp.asarray(u), jnp.asarray(v))
     assert bool(np.asarray(resident2).all())
-    assert int(np.asarray(req2).sum()) == 0
+    # usage bitmap still reports the touched (now-resident) pages, but
+    # servicing it loads nothing new
+    assert int(np.asarray(req2).sum()) == n_req
+    assert mgr.process_requests(req2) == 0
     ref = ref_bilinear(img, u, v)
     got = np.stack([np.asarray(color2.x), np.asarray(color2.y), np.asarray(color2.z)], -1)
     np.testing.assert_allclose(got, ref, atol=1e-5)
@@ -187,3 +190,39 @@ def test_feedback_loop_converges_with_capacity():
         passes += 1
         assert passes <= 3, "feedback loop failed to converge"
     assert passes == 1  # one service pass is enough at this capacity
+
+
+def test_lru_hot_pages_survive_eviction():
+    """TRUE LRU: resident pages touched every launch must outlive idle ones.
+    capacity 3, working set {A hot, B idle}, then two new pages arrive —
+    the idle page is evicted first, the hot page stays resident."""
+    rng = np.random.default_rng(7)
+    img = rng.uniform(0, 1, (2 * TILE, 2 * TILE, 3)).astype(np.float32)  # 4 pages
+    mgr = DemandTextureManager([ArraySource(img)], capacity=3)
+    tid = jnp.zeros((8,), jnp.int32)
+
+    def uv_for_page(px, py):  # sample well inside page (px, py)
+        u = (px * TILE + TILE / 2) / img.shape[1]
+        v = (py * TILE + TILE / 2) / img.shape[0]
+        return jnp.full((8,), u, jnp.float32), jnp.full((8,), v, jnp.float32)
+
+    # load A=(0,0) and B=(1,0)
+    for px in (0, 1):
+        u, v = uv_for_page(px, 0)
+        _, _, req = sample_demand(mgr.pool, tid, u, v)
+        mgr.process_requests(req)
+    page_a, page_b = 0, 1
+    assert mgr._page_table[page_a] >= 0 and mgr._page_table[page_b] >= 0
+    # touch A (resident) for a few launches; B stays idle
+    for _ in range(3):
+        u, v = uv_for_page(0, 0)
+        _, resident, req = sample_demand(mgr.pool, tid, u, v)
+        assert bool(np.asarray(resident).all())
+        mgr.process_requests(req)  # refreshes A's tick, loads nothing
+    # now fault in two NEW pages (fills slot 3, then must evict someone)
+    for px in (0, 1):
+        u, v = uv_for_page(px, 1)
+        _, _, req = sample_demand(mgr.pool, tid, u, v)
+        mgr.process_requests(req)
+    assert mgr._page_table[page_a] >= 0, "hot page was evicted (not LRU)"
+    assert mgr._page_table[page_b] < 0, "idle page should have been evicted"

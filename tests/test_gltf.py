@@ -146,3 +146,52 @@ def test_gltf_embedded_texture(tmp_path):
     mesh = hs.meshes[0]
     assert mesh.material["texture_id"] == 0
     assert mesh.texcoords is not None and len(mesh.texcoords) == 4
+
+
+def test_gltf_undecodable_texture_degrades_to_factors(tmp_path):
+    """An unsupported embedded image (non-base64 data URI, unknown codec,
+    missing file) must not fail the scene load — the material keeps its
+    factors and simply has no texture (Scene.cpp's tinygltf would have
+    decoded or skipped it; crashing the whole load is strictly worse)."""
+    import warnings
+
+    pos = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    idx = np.array([0, 1, 2], np.uint16)
+    bin_data = pos.tobytes() + idx.tobytes()
+    doc = {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": [{"attributes": {"POSITION": 0},
+                                    "indices": 1, "material": 0}]}],
+        "materials": [{"pbrMetallicRoughness": {
+            "baseColorFactor": [0.9, 0.1, 0.2, 1.0],
+            "baseColorTexture": {"index": 0},
+        }}],
+        "textures": [{"source": 0}],
+        # percent-encoded (non-base64) data URI + a bogus KTX2 payload case
+        "images": [{"uri": "data:image/png,%89PNG%0D%0A"}],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 3, "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5123, "count": 3, "type": "SCALAR"},
+        ],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": 36},
+            {"buffer": 0, "byteOffset": 36, "byteLength": 6},
+        ],
+        "buffers": [{
+            "byteLength": len(bin_data),
+            "uri": "data:application/octet-stream;base64,"
+                   + base64.b64encode(bin_data).decode(),
+        }],
+    }
+    p = tmp_path / "badtex.gltf"
+    p.write_text(json.dumps(doc))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        scene, _ = load_gltf(str(p))
+    assert any("undecodable" in str(x.message) for x in w)
+    m = scene.meshes[0]
+    np.testing.assert_allclose(m.material["color"], (0.9, 0.1, 0.2), rtol=1e-6)
+    assert m.material.get("texture", -1) == -1 or m.material.get("tex_id", -1) == -1

@@ -115,3 +115,21 @@ def test_rr_is_unbiased():
     mb = float(_rgb(base).mean()) / cfg.samples_per_launch
     mr = float(_rgb(rr).mean()) / cfg.samples_per_launch
     assert abs(mb - mr) / max(mb, 1e-9) < 0.05, (mb, mr)
+
+
+def test_rays_traced_fused_matches_unfused_with_final_skip():
+    """rays_traced accounting: fused_shadows only changes WHEN shadow rays
+    ride a sweep, never how many are traced — so the reported count must
+    match the unfused mode exactly, including under nee_final_bounce=False
+    (the peeled final sweep still traces the previous bounce's pending
+    shadow rays and must count them)."""
+    cs, probe, cfg, cam, px, py = _setup()
+    for nee_final in (True, False):
+        a = _render(cs, probe, dataclasses.replace(
+            cfg, fused_shadows=False, nee_final_bounce=nee_final), cam, px, py)
+        b = _render(cs, probe, dataclasses.replace(
+            cfg, fused_shadows=True, nee_final_bounce=nee_final), cam, px, py)
+        assert float(a.rays_traced) == float(b.rays_traced), (
+            f"nee_final_bounce={nee_final}: unfused {float(a.rays_traced)} "
+            f"vs fused {float(b.rays_traced)}"
+        )
