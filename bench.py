@@ -106,11 +106,23 @@ def main():
     from optixpathtracer_tpu.lights.probe import build_probe
 
     small = "--small" in sys.argv
+    # --scene loft: the bundled CLOSED textured interior (round-1 verdict:
+    # the open-sky city flatters traversal and under-tests emissives /
+    # textures at bench scale). Secondary number; the city stays headline.
+    loft = "--scene" in sys.argv and sys.argv[sys.argv.index("--scene") + 1] == "loft"
     width, height = (320, 240) if small else (1200, 800)
     spp = 1 if small else 2
     n_boxes = 400 if small else 12500
 
-    hs = build_city_scene(n_boxes=n_boxes)
+    if loft:
+        from optixpathtracer_tpu.io.obj import load_obj
+
+        hs = load_obj(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "scenes", "loft.obj"))
+        scene_label = "loft interior"
+    else:
+        hs = build_city_scene(n_boxes=n_boxes)
+        scene_label = "150k-tri city"
     t0 = time.perf_counter()
     # cluster_size 256: fatter (128, 256) M-T evals amortize the per-eval
     # issue overhead (measured: 64 is 1.5x worse, 256 ~4% better than 128)
@@ -119,10 +131,14 @@ def main():
     )
     build_s = time.perf_counter() - t0
 
-    # sky probe with a sun
-    sky = np.full((64, 128, 3), 0.4, np.float32)
-    sky[8:12, 30:34] = (60.0, 55.0, 45.0)
-    probe = build_probe(sky)
+    if loft:
+        # closed room: lit by its emissive panels, not the sky
+        probe = build_probe(np.full((8, 16, 3), 1e-6, np.float32))
+    else:
+        # sky probe with a sun
+        sky = np.full((64, 128, 3), 0.4, np.float32)
+        sky[8:12, 30:34] = (60.0, 55.0, 45.0)
+        probe = build_probe(sky)
 
     # cluster backend (exact, gather-free Pallas sweep — see
     # ops/traverse_cluster.py); dispatch chunks stay under the TPU tunnel's
@@ -145,11 +161,19 @@ def main():
         # one expanded pixels-x-samples wavefront per launch: halves the
         # per-dispatch fixed costs (was neutral pre-slab; now +1%)
         batch_spp=not small,
+        emission_all_bounces=loft,
+        use_shading_normals=loft,
     )
-    cam = Camera(
-        eye=(55.0, 18.0, 55.0), lookat=(0.0, 2.0, 0.0), up=(0, 1, 0), fov_y=45,
-        aspect_ratio=width / height,
-    )
+    if loft:
+        cam = Camera(
+            eye=(-5.2, 2.4, 3.2), lookat=(2.0, 1.2, -1.0), up=(0, 1, 0),
+            fov_y=55, aspect_ratio=width / height,
+        )
+    else:
+        cam = Camera(
+            eye=(55.0, 18.0, 55.0), lookat=(0.0, 2.0, 0.0), up=(0, 1, 0),
+            fov_y=45, aspect_ratio=width / height,
+        )
 
     # ---- quality gate 1: traversal exactness at bench scale -------------
     # the headline number is only admissible if the fast backend agrees
@@ -173,8 +197,12 @@ def main():
         sy = rng.uniform(-1, 1, (half, 1))
         dcam = sx * uu[None] + sy * vv[None] + ww[None]
         ocam = np.broadcast_to(np.asarray(cam.eye, np.float32), (half, 3))
-        obnc = rng.uniform(-50, 50, (half, 3))
-        obnc[:, 1] = rng.uniform(0.2, 10, half)
+        # interior bounce-like origins: uniform in the (slightly shrunk)
+        # scene bbox, so the gate exercises the scene actually benched
+        all_v = np.concatenate([m.vertices for m in hs.meshes])
+        lo, hi = all_v.min(0), all_v.max(0)
+        c, half_ext = (lo + hi) / 2, (hi - lo) / 2
+        obnc = c + rng.uniform(-0.85, 0.85, (half, 3)) * half_ext
         dbnc = rng.normal(0, 1, (half, 3))
         og = np.concatenate([ocam, obnc]).astype(np.float32)
         dg = np.concatenate([dcam, dbnc]).astype(np.float32)
@@ -211,7 +239,7 @@ def main():
     # ---- quality gates: refuse a headline number from wrong images ------
     gated_out = (overflow != 0.0) or (gate_mismatch != 0)
     result = {
-        "metric": "Mrays/s incoherent (Disney PT, depth 4, 150k-tri city, 1200x800)",
+        "metric": f"Mrays/s incoherent (Disney PT, depth 4, {scene_label}, 1200x800)",
         "value": 0.0 if gated_out else round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": 0.0 if gated_out else round(mrays / 100.0, 4),
