@@ -228,6 +228,11 @@ def main(argv=None) -> int:
 
     p_render = sub.add_parser("render", help="render a scene with a model preset")
     add_config_args(p_render)
+    p_render.add_argument(
+        "--profile", default=None, metavar="DIR",
+        help="capture a jax.profiler device trace of the whole render into "
+             "DIR (open with TensorBoard/xprof; the TPU analog of the "
+             "reference's chrono frame splits, sutil.cpp:723-783)")
     p_render.set_defaults(fn=cmd_render)
 
     p_view = sub.add_parser("view", help="interactive browser viewer")
@@ -241,6 +246,15 @@ def main(argv=None) -> int:
     p_bench.set_defaults(fn=cmd_bench)
 
     args = parser.parse_args(argv)
+    if getattr(args, "profile", None):
+        import jax
+
+        jax.profiler.start_trace(args.profile)
+        try:
+            return args.fn(args)
+        finally:
+            jax.profiler.stop_trace()
+            print(f"profiler trace written to {args.profile}")
     return args.fn(args)
 
 
