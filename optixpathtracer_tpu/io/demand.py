@@ -122,16 +122,22 @@ class MandelbrotSource:
 
 
 class DemandTexturePool(NamedTuple):
-    """Device-resident sparse texture state (a pytree — pass through jit)."""
+    """Device-resident sparse texture state (a pytree — pass through jit).
+
+    Tables are indexed [texture, mip_level] — the reference's DemandLoading
+    page ids likewise encode (level, x, y) (TextureRequestHandler). A
+    texture with fewer levels than the table width repeats its coarsest
+    row, so any in-range level index is safe."""
 
     tile_r: Array  # (capacity, STORE*STORE) f32 resident tiles + gutter
     tile_g: Array
     tile_b: Array
     page_table: Array  # (num_pages,) i32 page -> slot, or -1 (non-resident)
-    page_offset: Array  # (T,) i32 first page id of each texture
-    pages_x: Array  # (T,) i32 page-grid width of each texture
-    width: Array  # (T,) i32 texel dims
-    height: Array  # (T,) i32
+    page_offset: Array  # (T, L) i32 first page id of texture t, level l
+    pages_x: Array  # (T, L) i32 page-grid width per level
+    width: Array  # (T, L) i32 level texel dims
+    height: Array  # (T, L) i32
+    levels: Array  # (T,) i32 actual mip levels of each texture
     fallback: Array  # (T, 3) f32 per-texture average color for misses
 
     @property
@@ -140,9 +146,16 @@ class DemandTexturePool(NamedTuple):
 
 
 def sample_demand(
-    pool: DemandTexturePool, tex_id: Array, u: Array, v: Array
+    pool: DemandTexturePool, tex_id: Array, u: Array, v: Array,
+    lod: Array | None = None,
 ) -> tuple[Vec3, Array, Array]:
     """Bilinear sample with wrap addressing from the sparse tile pool.
+
+    `lod` (optional, float per lane) selects the nearest mip level, clamped
+    to the texture's chain; None/0 samples the base level. Levels are
+    box-filtered pyramids (built by the manager), so coarse lookups touch
+    far fewer pages — the reference's mip-aware sparse textures
+    (DemandLoading TextureRequestHandler) with nearest-level filtering.
 
     Returns (color, resident_mask, usage_bitmap). Non-resident lookups
     return the texture's fallback color. The usage bitmap records EVERY
@@ -153,8 +166,14 @@ def sample_demand(
     ones. tex_id < 0 samples nothing (white, no usage).
     """
     tid = jnp.maximum(tex_id, 0)
-    w = pool.width[tid]
-    h = pool.height[tid]
+    if lod is None:
+        lvl = jnp.zeros_like(tid)
+    else:
+        lvl = jnp.clip(
+            jnp.round(lod).astype(jnp.int32), 0, pool.levels[tid] - 1
+        )
+    w = pool.width[tid, lvl]
+    h = pool.height[tid, lvl]
     uu = (u % 1.0) * w.astype(jnp.float32) - 0.5
     vv = (v % 1.0) * h.astype(jnp.float32) - 0.5
     x0 = jnp.floor(uu)
@@ -168,7 +187,7 @@ def sample_demand(
     yi = jnp.mod(y0.astype(jnp.int32), h)
     tx = xi // TILE
     ty = yi // TILE
-    page = pool.page_offset[tid] + ty * pool.pages_x[tid] + tx
+    page = pool.page_offset[tid, lvl] + ty * pool.pages_x[tid, lvl] + tx
     slot = pool.page_table[page]
     resident = slot >= 0
     valid = tex_id >= 0
@@ -209,28 +228,65 @@ class DemandTextureManager:
     sources, assigns pool slots with LRU eviction, services request bitmaps
     between launches."""
 
-    def __init__(self, sources: Sequence[ImageSource], capacity: int = 256):
+    def __init__(
+        self,
+        sources: Sequence[ImageSource],
+        capacity: int = 256,
+        levels: int = 1,
+    ):
+        """levels > 1 builds box-filtered mip pyramids per texture (level l
+        dims = max(1, dim >> l), chain clamped once a level fits one tile).
+        levels=1 is the original base-level-only behavior."""
         self.sources = list(sources)
         self.capacity = int(capacity)
-        offs, px, py, w, h, fb = [], [], [], [], [], []
+        max_l = max(1, int(levels))
+        # per-(texture, level) page-space layout
+        n_tex = len(self.sources)
+        offs = np.zeros((n_tex, max_l), np.int32)
+        px = np.zeros((n_tex, max_l), np.int32)
+        w = np.zeros((n_tex, max_l), np.int32)
+        h = np.zeros((n_tex, max_l), np.int32)
+        n_levels = np.zeros(n_tex, np.int32)
+        fb = []
+        meta = []  # page -> (tex, level, local_offset) rows, built per chunk
         total = 0
-        for s in self.sources:
-            offs.append(total)
-            gx = -(-s.width // TILE)
-            gy = -(-s.height // TILE)
-            px.append(gx)
-            py.append(gy)
-            w.append(s.width)
-            h.append(s.height)
+        for t, s in enumerate(self.sources):
+            nl = 1
+            while (
+                nl < max_l
+                and max(s.width >> nl, s.height >> nl) >= 1
+                and max(s.width >> (nl - 1), s.height >> (nl - 1)) > TILE
+            ):
+                nl += 1
+            n_levels[t] = nl
+            for l in range(max_l):
+                le = min(l, nl - 1)
+                lw = max(1, s.width >> le)
+                lh = max(1, s.height >> le)
+                gx = -(-lw // TILE)
+                gy = -(-lh // TILE)
+                if l < nl:
+                    offs[t, l] = total
+                    meta.append((t, l, total, gx, gy))
+                    total += gx * gy
+                else:  # clamp: repeat the coarsest real level's row
+                    offs[t, l] = offs[t, nl - 1]
+                    gx = px[t, nl - 1]
+                px[t, l] = gx if l < nl else px[t, nl - 1]
+                w[t, l] = lw
+                h[t, l] = lh
             # fallback = mean of a sparse probe grid (cheap, deterministic)
             xs = np.linspace(0, s.width - 1, 16).astype(np.int64)
             ys = np.linspace(0, s.height - 1, 16).astype(np.int64)
             fb.append(s.read_texel_block(xs, ys).reshape(-1, 3).mean(0))
-            total += gx * gy
         self.num_pages = total
         self._page_tex = np.zeros(total, np.int32)  # page -> texture id
-        for t, (o, gx, gy) in enumerate(zip(offs, px, py)):
+        self._page_lvl = np.zeros(total, np.int32)  # page -> mip level
+        self._page_local = np.zeros(total, np.int64)  # page - level offset
+        for t, l, o, gx, gy in meta:
             self._page_tex[o:o + gx * gy] = t
+            self._page_lvl[o:o + gx * gy] = l
+            self._page_local[o:o + gx * gy] = np.arange(gx * gy)
         self._page_table = np.full(total, -1, np.int32)
         self._slot_page = np.full(self.capacity, -1, np.int64)
         self._clock = 0
@@ -241,26 +297,40 @@ class DemandTextureManager:
             tile_g=jnp.zeros((self.capacity, st), jnp.float32),
             tile_b=jnp.zeros((self.capacity, st), jnp.float32),
             page_table=jnp.asarray(self._page_table),
-            page_offset=jnp.asarray(np.asarray(offs, np.int32)),
-            pages_x=jnp.asarray(np.asarray(px, np.int32)),
-            width=jnp.asarray(np.asarray(w, np.int32)),
-            height=jnp.asarray(np.asarray(h, np.int32)),
+            page_offset=jnp.asarray(offs),
+            pages_x=jnp.asarray(px),
+            width=jnp.asarray(w),
+            height=jnp.asarray(h),
+            levels=jnp.asarray(n_levels),
             fallback=jnp.asarray(np.stack(fb).astype(np.float32)),
         )
-        self._offs = offs
         self._px = px
         self.pages_loaded = 0
         self.pages_evicted = 0
 
+    def _read_level_block(
+        self, t: int, level: int, xs: np.ndarray, ys: np.ndarray
+    ) -> np.ndarray:
+        """Level-l texels at integer grids — an exact 2^l x 2^l box filter
+        over the source's base level (wrap addressing), so mips are
+        well-defined for ANY ImageSource, procedural included."""
+        src = self.sources[t]
+        if level == 0:
+            return src.read_texel_block(xs, ys)
+        k = 1 << level
+        xf = (xs[:, None] * k + np.arange(k)[None, :]).reshape(-1)
+        yf = (ys[:, None] * k + np.arange(k)[None, :]).reshape(-1)
+        block = src.read_texel_block(xf, yf)  # (len(ys)*k, len(xs)*k, 3)
+        return block.reshape(len(ys), k, len(xs), k, 3).mean((1, 3))
+
     def _read_tile(self, page: int) -> tuple[np.ndarray, ...]:
         t = int(self._page_tex[page])
-        src = self.sources[t]
-        local = page - self._offs[t]
-        ty, tx = divmod(local, self._px[t])
+        level = int(self._page_lvl[page])
+        ty, tx = divmod(int(self._page_local[page]), int(self._px[t, level]))
         # payload [tx*TILE, tx*TILE+TILE) plus 1-texel wrapped gutter
         xs = np.arange(tx * TILE - 1, tx * TILE + TILE + 1, dtype=np.int64)
         ys = np.arange(ty * TILE - 1, ty * TILE + TILE + 1, dtype=np.int64)
-        block = src.read_texel_block(xs, ys)  # (STORE, STORE, 3)
+        block = self._read_level_block(t, level, xs, ys)  # (STORE, STORE, 3)
         flat = block.reshape(-1, 3)
         return flat[:, 0], flat[:, 1], flat[:, 2]
 

@@ -226,3 +226,67 @@ def test_lru_hot_pages_survive_eviction():
         mgr.process_requests(req)
     assert mgr._page_table[page_a] >= 0, "hot page was evicted (not LRU)"
     assert mgr._page_table[page_b] < 0, "idle page should have been evicted"
+
+
+def _box_mip(img, level):
+    k = 1 << level
+    h, w = img.shape[:2]
+    return img.reshape(h // k, k, w // k, k, 3).mean((1, 3)).astype(np.float32)
+
+
+def test_mip_levels_exact_and_clamped():
+    """Mip pyramid: level l sampling equals wrap-bilinear over the exact
+    2^l box-filtered image (POT dims); out-of-range lod clamps to the
+    coarsest level (the reference's mip-aware DemandLoading contract)."""
+    rng = np.random.default_rng(11)
+    img = rng.uniform(0, 1, (256, 256, 3)).astype(np.float32)
+    mgr = DemandTextureManager([ArraySource(img)], capacity=64, levels=3)
+    assert int(np.asarray(mgr.pool.levels)[0]) == 3
+    u, v = _uvs(2048, seed=13)
+    tid = jnp.zeros(u.shape, jnp.int32)
+
+    for level in (0, 1, 2):
+        lod = jnp.full(u.shape, float(level), jnp.float32)
+        _, _, req = sample_demand(mgr.pool, tid, jnp.asarray(u), jnp.asarray(v), lod)
+        mgr.process_requests(req)
+        color, resident, _ = sample_demand(
+            mgr.pool, tid, jnp.asarray(u), jnp.asarray(v), lod
+        )
+        assert bool(np.asarray(resident).all()), f"level {level} not resident"
+        ref = ref_bilinear(_box_mip(img, level), u, v)
+        got = np.stack([np.asarray(color.x), np.asarray(color.y),
+                        np.asarray(color.z)], -1)
+        np.testing.assert_allclose(got, ref, atol=1e-5, err_msg=f"level {level}")
+
+    # lod beyond the chain clamps to the coarsest level
+    hi = jnp.full(u.shape, 9.0, jnp.float32)
+    c_hi, res_hi, req_hi = sample_demand(
+        mgr.pool, tid, jnp.asarray(u), jnp.asarray(v), hi
+    )
+    assert bool(np.asarray(res_hi).all())  # coarsest already resident
+    ref2 = ref_bilinear(_box_mip(img, 2), u, v)
+    got2 = np.stack([np.asarray(c_hi.x), np.asarray(c_hi.y), np.asarray(c_hi.z)], -1)
+    np.testing.assert_allclose(got2, ref2, atol=1e-5)
+
+
+def test_mip_coarse_levels_fit_tiny_pools():
+    """The point of mips: a coarse level's whole page set fits a pool that
+    the base level overflows — distant/minified lookups stay resident."""
+    cb = CheckerBoardSource(width=16 * TILE, height=16 * TILE, squares_per_side=16)
+    mgr = DemandTextureManager([cb], capacity=6, levels=5)
+    # base level: 16x16 = 256 pages >> capacity; level 4: 1 page
+    u, v = _uvs(4096, seed=17)
+    tid = jnp.zeros(u.shape, jnp.int32)
+    lod = jnp.full(u.shape, 4.0, jnp.float32)
+    _, _, req = sample_demand(mgr.pool, tid, jnp.asarray(u), jnp.asarray(v), lod)
+    assert int(np.asarray(req).sum()) <= 6
+    mgr.process_requests(req)
+    _, resident, _ = sample_demand(mgr.pool, tid, jnp.asarray(u), jnp.asarray(v), lod)
+    assert bool(np.asarray(resident).all())
+    # procedural mip is the exact box filter of the base function
+    lvl_dim = (16 * TILE) >> 4
+    base = cb.read_texel_block(np.arange(16 * TILE), np.arange(16 * TILE))
+    ref_img = base.reshape(lvl_dim, 16, lvl_dim, 16, 3).mean((1, 3)).astype(np.float32)
+    color, _, _ = sample_demand(mgr.pool, tid, jnp.asarray(u), jnp.asarray(v), lod)
+    got = np.stack([np.asarray(color.x), np.asarray(color.y), np.asarray(color.z)], -1)
+    np.testing.assert_allclose(got, ref_bilinear(ref_img, u, v), atol=1e-5)
