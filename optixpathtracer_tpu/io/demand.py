@@ -147,15 +147,16 @@ class DemandTexturePool(NamedTuple):
 
 def sample_demand(
     pool: DemandTexturePool, tex_id: Array, u: Array, v: Array,
-    lod: Array | None = None,
+    lod: Array | None = None, trilinear: bool = False,
 ) -> tuple[Vec3, Array, Array]:
     """Bilinear sample with wrap addressing from the sparse tile pool.
 
-    `lod` (optional, float per lane) selects the nearest mip level, clamped
-    to the texture's chain; None/0 samples the base level. Levels are
-    box-filtered pyramids (built by the manager), so coarse lookups touch
-    far fewer pages — the reference's mip-aware sparse textures
-    (DemandLoading TextureRequestHandler) with nearest-level filtering.
+    `lod` (optional, float per lane) selects the mip level, clamped to the
+    texture's chain; None/0 samples the base level. Levels are box-filtered
+    pyramids (built by the manager), so coarse lookups touch far fewer
+    pages — the reference's mip-aware sparse textures (DemandLoading
+    TextureRequestHandler). `trilinear=True` blends the two bracketing
+    levels (hardware-sparse-texture filtering); default is nearest level.
 
     Returns (color, resident_mask, usage_bitmap). Non-resident lookups
     return the texture's fallback color. The usage bitmap records EVERY
@@ -166,12 +167,50 @@ def sample_demand(
     ones. tex_id < 0 samples nothing (white, no usage).
     """
     tid = jnp.maximum(tex_id, 0)
-    if lod is None:
-        lvl = jnp.zeros_like(tid)
+    valid = tex_id >= 0
+
+    if lod is None or not trilinear:
+        if lod is None:
+            lvl = jnp.zeros_like(tid)
+        else:
+            lvl = jnp.clip(
+                jnp.round(lod).astype(jnp.int32), 0, pool.levels[tid] - 1
+            )
+        out, resident, page = _sample_level(pool, tid, u, v, lvl)
+        usage = jnp.zeros((pool.num_pages,), jnp.bool_).at[
+            jnp.where(valid, page, 0)
+        ].max(valid, mode="drop")
     else:
-        lvl = jnp.clip(
-            jnp.round(lod).astype(jnp.int32), 0, pool.levels[tid] - 1
+        # trilinear: blend the two bracketing levels (the reference's
+        # hardware sparse textures filter trilinearly); both levels'
+        # pages are reported as used, both must be resident
+        lodc = jnp.clip(lod, 0.0, (pool.levels[tid] - 1).astype(jnp.float32))
+        l0 = jnp.floor(lodc).astype(jnp.int32)
+        l1 = jnp.minimum(l0 + 1, pool.levels[tid] - 1)
+        f = lodc - l0.astype(jnp.float32)
+        out0, res0, page0 = _sample_level(pool, tid, u, v, l0)
+        out1, res1, page1 = _sample_level(pool, tid, u, v, l1)
+        out = out0 * (1.0 - f) + out1 * f
+        resident = res0 & res1
+        usage = (
+            jnp.zeros((pool.num_pages,), jnp.bool_)
+            .at[jnp.where(valid, page0, 0)].max(valid, mode="drop")
+            .at[jnp.where(valid, page1, 0)].max(valid, mode="drop")
         )
+
+    fb = pool.fallback[tid]
+    color = Vec3(
+        jnp.where(valid, jnp.where(resident, out.x, fb[..., 0]), 1.0),
+        jnp.where(valid, jnp.where(resident, out.y, fb[..., 1]), 1.0),
+        jnp.where(valid, jnp.where(resident, out.z, fb[..., 2]), 1.0),
+    )
+    return color, resident & valid, usage
+
+
+def _sample_level(
+    pool: DemandTexturePool, tid: Array, u: Array, v: Array, lvl: Array
+) -> tuple[Vec3, Array, Array]:
+    """Wrap-bilinear at one mip level: (color, resident, page) per lane."""
     w = pool.width[tid, lvl]
     h = pool.height[tid, lvl]
     uu = (u % 1.0) * w.astype(jnp.float32) - 0.5
@@ -190,7 +229,6 @@ def sample_demand(
     page = pool.page_offset[tid, lvl] + ty * pool.pages_x[tid, lvl] + tx
     slot = pool.page_table[page]
     resident = slot >= 0
-    valid = tex_id >= 0
 
     # texel coords inside the stored tile (+1 for the gutter ring)
     lx = xi - tx * TILE + 1
@@ -209,18 +247,7 @@ def sample_demand(
     c11 = fetch(1, 1)
     top = c00 * (1.0 - fx) + c10 * fx
     bot = c01 * (1.0 - fx) + c11 * fx
-    out = top * (1.0 - fy) + bot * fy
-
-    fb = pool.fallback[tid]
-    color = Vec3(
-        jnp.where(valid, jnp.where(resident, out.x, fb[..., 0]), 1.0),
-        jnp.where(valid, jnp.where(resident, out.y, fb[..., 1]), 1.0),
-        jnp.where(valid, jnp.where(resident, out.z, fb[..., 2]), 1.0),
-    )
-    usage = jnp.zeros((pool.num_pages,), jnp.bool_).at[
-        jnp.where(valid, page, 0)
-    ].max(valid, mode="drop")
-    return color, resident & valid, usage
+    return top * (1.0 - fy) + bot * fy, resident, page
 
 
 class DemandTextureManager:

@@ -290,3 +290,40 @@ def test_mip_coarse_levels_fit_tiny_pools():
     color, _, _ = sample_demand(mgr.pool, tid, jnp.asarray(u), jnp.asarray(v), lod)
     got = np.stack([np.asarray(color.x), np.asarray(color.y), np.asarray(color.z)], -1)
     np.testing.assert_allclose(got, ref_bilinear(ref_img, u, v), atol=1e-5)
+
+
+def test_trilinear_blends_bracketing_levels():
+    """trilinear=True: integer lod equals nearest-level sampling; fractional
+    lod equals the manual (1-f)*level0 + f*level1 blend."""
+    rng = np.random.default_rng(19)
+    img = rng.uniform(0, 1, (256, 256, 3)).astype(np.float32)
+    mgr = DemandTextureManager([ArraySource(img)], capacity=96, levels=3)
+    u, v = _uvs(1024, seed=21)
+    tid = jnp.zeros(u.shape, jnp.int32)
+    # make levels 0..2 resident
+    for level in (0.0, 1.0, 2.0):
+        lod = jnp.full(u.shape, level, jnp.float32)
+        _, _, req = sample_demand(mgr.pool, tid, jnp.asarray(u), jnp.asarray(v), lod)
+        mgr.process_requests(req)
+
+    def rgb(c):
+        return np.stack([np.asarray(c.x), np.asarray(c.y), np.asarray(c.z)], -1)
+
+    for level in (0.0, 1.0, 2.0):  # integer lod: tri == nearest
+        lod = jnp.full(u.shape, level, jnp.float32)
+        a, ra, _ = sample_demand(mgr.pool, tid, jnp.asarray(u), jnp.asarray(v),
+                                 lod, trilinear=True)
+        b, rb, _ = sample_demand(mgr.pool, tid, jnp.asarray(u), jnp.asarray(v), lod)
+        assert bool(np.asarray(ra).all()) and bool(np.asarray(rb).all())
+        np.testing.assert_allclose(rgb(a), rgb(b), atol=1e-6)
+
+    lod = jnp.full(u.shape, 0.75, jnp.float32)
+    c, res, usage = sample_demand(mgr.pool, tid, jnp.asarray(u), jnp.asarray(v),
+                                  lod, trilinear=True)
+    assert bool(np.asarray(res).all())
+    r0 = ref_bilinear(_box_mip(img, 0), u, v)
+    r1 = ref_bilinear(_box_mip(img, 1), u, v)
+    np.testing.assert_allclose(rgb(c), 0.25 * r0 + 0.75 * r1, atol=1e-5)
+    # both levels' pages are reported used (level-0 base grid spans >1 page)
+    lvls = np.asarray(mgr._page_lvl)[np.nonzero(np.asarray(usage))[0]]
+    assert set(lvls.tolist()) == {0, 1}
