@@ -51,12 +51,13 @@ def main():
     hs.add_box(make_material(color=(0.8, 0.3, 0.2)), pos=(0, 1.5, 0), extent=(1.5, 1.5, 1.5))
     cs = compile_scene(hs)
 
-    # 8192^2 checkerboard = 17,689 pages of 62^2 texels; the pool holds
-    # 4096 — enough for the ~3.9k-page visible footprint, a fraction of the
-    # full texture (a smaller pool demonstrates LRU thrash instead)
+    # 8192^2 checkerboard = 17,689 base pages of 62^2 texels; the pool holds
+    # 4096 — enough for the visible footprint, a fraction of the full
+    # texture. With a 6-level mip chain + distance LOD the footprint drops
+    # ~7x further: distant ground resolves from a handful of coarse pages.
     src = CheckerBoardSource(width=8192, height=8192, squares_per_side=128,
                              color_a=(0.9, 0.9, 0.85), color_b=(0.15, 0.2, 0.5))
-    mgr = DemandTextureManager([src], capacity=4096)
+    mgr = DemandTextureManager([src], capacity=4096, levels=6)
 
     cam = Camera(eye=(9, 5, 9), lookat=(0, 0.8, 0), up=(0, 1, 0), fov_y=45,
                  aspect_ratio=w / h)
@@ -82,24 +83,34 @@ def main():
         mat = sc.material_id[tri]
         tex = jnp.where(rec.hit & (mat == 0), 0, -1)
         shade = jnp.abs(d.y)  # simple headlight-ish term for the demo image
-        return tex, tu, tv, rec.hit, shade
+        # screen-space texel footprint -> mip LOD: pixel solid angle grows
+        # the footprint with hit distance t and with grazing incidence on
+        # the ground plane (1/|d.y|); one 8192-texel texture spans 120 units
+        import math
 
-    tex, tu, tv, hit, shade = first_hit(jnp.asarray(xs), jnp.asarray(ys))
+        pixel_ang = 2.0 * math.tan(math.radians(45.0 / 2)) / h
+        texel_sz = (2 * 60.0) / 8192.0
+        foot = rec.t * pixel_ang / jnp.maximum(jnp.abs(d.y), 1e-3) / texel_sz
+        lod = jnp.clip(jnp.log2(jnp.maximum(foot, 1.0)), 0.0, 5.0)
+        return tex, tu, tv, rec.hit, shade, lod
 
-    sample = jax.jit(sample_demand)
-    for npass in range(1, 9):
-        color, resident, req = sample(mgr.pool, tex, tu, tv)
-        n_req = int(np.asarray(req).sum())
-        print(f"pass {npass}: requested {n_req} pages, "
-              f"loaded so far {mgr.pages_loaded}, evicted {mgr.pages_evicted}")
-        if n_req == 0:
+    tex, tu, tv, hit, shade, lod = first_hit(jnp.asarray(xs), jnp.asarray(ys))
+
+    sample = jax.jit(lambda pool, t, u, v, l: sample_demand(
+        pool, t, u, v, l, trilinear=True))
+    for npass in range(1, 12):
+        color, resident, usage = sample(mgr.pool, tex, tu, tv, lod)
+        n_used = int(np.asarray(usage).sum())
+        loaded = mgr.process_requests(usage)
+        print(f"pass {npass}: touched {n_used} pages, loaded {loaded} "
+              f"(total {mgr.pages_loaded}, evicted {mgr.pages_evicted})")
+        if loaded == 0:
             break
-        mgr.process_requests(req)
 
     total = mgr.num_pages
     print(f"resident {int((np.asarray(mgr.pool.page_table) >= 0).sum())} / "
-          f"{total} pages ({mgr.pages_loaded} loads) — sparse residency, "
-          f"full-res sampling where visible")
+          f"{total} pages ({mgr.pages_loaded} loads) — sparse residency; "
+          f"distance LOD resolves distant ground from coarse mip pages")
 
     img = np.zeros((w * h, 3), np.float32)
     rgb = np.stack([np.asarray(color.x), np.asarray(color.y), np.asarray(color.z)], -1)
