@@ -40,10 +40,12 @@ def _render_step(
     accum: Vec3,
     subframe: jax.Array,
     area_light=None,
+    demand_pool=None,
 ):
     """One progressive launch over a pixel chunk (the optixLaunch unit)."""
     out = trace_wavefront(
-        cs, probe, cfg, cam, pixel_x, pixel_y, subframe, area_light=area_light
+        cs, probe, cfg, cam, pixel_x, pixel_y, subframe, area_light=area_light,
+        demand_pool=demand_pool,
     )
     new_accum = accumulate(
         accum, out.color, subframe, cfg.samples_per_launch, cfg.clamp_radiance
@@ -64,12 +66,20 @@ class Renderer:
         config: RenderConfig | None = None,
         camera: Camera | None = None,
         area_light=None,
+        demand=None,
     ):
         self.cs = compiled_scene
         self.probe = probe
         self.config = config or RenderConfig()
         self.camera = camera or Camera()
         self.area_light = area_light
+        # demand-loaded sparse textures (io.demand.DemandTextureManager):
+        # material texture_ids index the manager's sources; every launch
+        # returns a page-usage bitmap and the pager services it between
+        # launches — the reference's DemandLoader launchPrepare/processRequests
+        # cycle (DemandLoaderImpl), with non-resident hits shading fallback
+        # colors until their tiles arrive.
+        self.demand = demand
         self.subframe_index = 0
         self._frame_times: list[float] = []
         self.resize(self.config.width, self.config.height)
@@ -129,10 +139,11 @@ class Renderer:
         n = self._px.shape[0]
         chunk = -(-n // tiles)
         sub = jnp.uint32(self.subframe_index)
+        dpool = self.demand.pool if self.demand is not None else None
         if tiles == 1:
             self.accum, frame, self._last = _render_step(
                 self.cs, self.probe, self.config, cam,
-                self._px, self._py, self.accum, sub, self.area_light,
+                self._px, self._py, self.accum, sub, self.area_light, dpool,
             )
         else:
             accum_parts, frame_parts, outs = [], [], []
@@ -142,7 +153,8 @@ class Renderer:
                 a_chunk = jax.tree.map(lambda v: v[s:e], self.accum)
                 na, fr, out = _render_step(
                     self.cs, self.probe, self.config, cam,
-                    self._px[s:e], self._py[s:e], a_chunk, sub, self.area_light,
+                    self._px[s:e], self._py[s:e], a_chunk, sub,
+                    self.area_light, dpool,
                 )
                 accum_parts.append(na)
                 frame_parts.append(fr)
@@ -155,10 +167,19 @@ class Renderer:
             def _merge(*xs):
                 if xs[0].ndim == 0:  # scalar metrics (ray counts) sum up
                     return sum(xs[1:], xs[0])
+                if xs[0].dtype == jnp.bool_:  # page-usage bitmaps OR up
+                    out = xs[0]
+                    for x in xs[1:]:
+                        out = out | x
+                    return out
                 return jnp.concatenate(xs)
 
             self._last = jax.tree.map(_merge, *outs)
         frame.block_until_ready()
+        if self.demand is not None:
+            # service this launch's page requests so the NEXT launch finds
+            # its tiles resident (progressive refinement converges pages in)
+            self.demand.process_requests(np.asarray(self._last.tex_usage))
         self.subframe_index += 1
         self._frame_u8 = frame
         self._frame_times.append(time.perf_counter() - t0)

@@ -88,7 +88,7 @@ def trace_spectral(
             t_max = jnp.where(active, cfg.t_max, 0.0)
             rec = _closest_hit(cs, cfg, path["o"], path["d"], cfg.t_min, t_max)
             hit = rec.hit & active
-            n_hit, mat, albedo = _hit_geometry(cs, rec, path["d"], cfg.use_shading_normals)
+            n_hit, mat, albedo, _ = _hit_geometry(cs, rec, path["d"], cfg.use_shading_normals)
             p_hit = path["o"] + path["d"] * rec.t
             s_alb = rgb_to_spectrum(albedo, lam)  # (N, 4)
 

@@ -167,16 +167,28 @@ class SampleOutput(NamedTuple):
     rays_traced: Array  # scalar: exact radiance+shadow ray count (bench metric)
     bfs_overflow: Array  # scalar: BFS worklist candidates dropped (0 == exact
     #   traversal; nonzero means nearest-first truncation occurred)
+    tex_usage: Array | None = None  # (num_pages,) bool page-usage bitmap when
+    #   a demand_pool was given (feed to DemandTextureManager.process_requests)
 
 
-def _hit_geometry(cs: CompiledScene, rec, ray_dir: Vec3, use_shading: bool):
+def _hit_geometry(
+    cs: CompiledScene, rec, ray_dir: Vec3, use_shading: bool,
+    demand_pool=None, demand_mask=None,
+):
     """Fetch per-hit position/normal/albedo inputs (the SBT-record stage).
+    Returns (normal, material, albedo, tex_usage-or-None).
 
     Instanced scenes (compile_instanced): rec.tri is an ENTRY-slot id —
     resolve it to (mesh triangle, instance), gather mesh-local geometry,
     and move vertices (forward affine) / shading normals (inverse-transpose)
     to world space. This is the per-instance sbtOffset role of the
-    reference's IAS path (Scene.cpp:1080-1093)."""
+    reference's IAS path (Scene.cpp:1080-1093).
+
+    demand_pool (io.demand.DemandTexturePool, optional): sample albedo from
+    the sparse demand-loaded pool instead of the resident TexturePool —
+    non-resident hits shade with the texture's fallback color and report
+    their page in the returned usage bitmap (the reference's sparse-texture
+    shading contract). demand_mask limits usage reporting to real hits."""
     scene = cs.scene
     cl = cs.clusters
     instanced = cl is not None and cl.instanced
@@ -238,9 +250,19 @@ def _hit_geometry(cs: CompiledScene, rec, ray_dir: Vec3, use_shading: bool):
     w0 = 1.0 - rec.u - rec.v
     tu = uv0u * w0 + uv1u * rec.u + uv2u * rec.v
     tv = uv0v * w0 + uv1v * rec.u + uv2v * rec.v
-    tex = scene.textures.sample_bilinear(mat.texture_id, tu, tv)
+    usage = None
+    if demand_pool is not None:
+        from ..io.demand import sample_demand
+
+        tex_ids = (
+            mat.texture_id if demand_mask is None
+            else jnp.where(demand_mask, mat.texture_id, -1)
+        )
+        tex, _resident, usage = sample_demand(demand_pool, tex_ids, tu, tv)
+    else:
+        tex = scene.textures.sample_bilinear(mat.texture_id, tu, tv)
     albedo = where(mat.texture_id >= 0, tex, mat.color)
-    return n, mat, albedo
+    return n, mat, albedo, usage
 
 
 def _closest_hit2(cs, cfg, o, d, t_min, t_max):
@@ -390,7 +412,7 @@ def permute_packed(leaves: list[Array], perm: Array) -> list[Array]:
 def _sort_path(path: dict, key: Array) -> dict:
     """Reorder every per-ray leaf of the path state by ascending key:
     ONE (key, iota) sort for the permutation + ONE packed-row gather."""
-    scalars = ("rays", "ovf")
+    scalars = ("rays", "ovf", "tex_usage")  # not per-lane: never permuted
     moving = {k: v for k, v in path.items() if k not in scalars}
     leaves, treedef = jax.tree.flatten(moving)
     n = key.shape[0]
@@ -541,6 +563,7 @@ def trace_wavefront(
     active_mask: Array | None = None,
     area_light=None,
     sample_lanes: Array | None = None,
+    demand_pool=None,
 ) -> SampleOutput:
     """Render cfg.samples_per_launch paths for each pixel in the wavefront.
 
@@ -548,6 +571,11 @@ def trace_wavefront(
     full frame, sharded tile, or foveation ring). active_mask (optional bool
     (N,)) culls lanes up-front — the foveation annulus test (sv4
     deviceProgram.cu:421-425): culled lanes trace nothing and output zeros.
+
+    demand_pool (optional io.demand.DemandTexturePool): sample textured
+    albedo from the sparse demand-loaded pool; the launch's page-usage
+    bitmap comes back in SampleOutput.tex_usage for the host pager (the
+    reference's launch-prepare/launch-process cycle, DemandLoaderImpl).
 
     sample_lanes (optional (N,) uint32): explicit per-lane RNG sample counter
     (the value that replaces `subframe * spp + sample_index` in the tea seed).
@@ -591,7 +619,7 @@ def trace_wavefront(
 
     def sample_body(s, carry):
         (acc_color, acc_alpha, acc_normal, acc_albedo, acc_backplate,
-         acc_rays, acc_ovf) = carry
+         acc_rays, acc_ovf, acc_usage) = carry
         # per (pixel, subframe, sample) stream
         if fused_lanes:
             seed_ctr = sample_lanes
@@ -637,6 +665,10 @@ def trace_wavefront(
             # it with area pdfs are meaningless and must be forced to 1
             prev_delta=zf > 1.0,
         )
+        if demand_pool is not None:
+            path["tex_usage"] = jnp.zeros(
+                (demand_pool.num_pages,), jnp.bool_
+            ) & (zero_scalar < 1.0)
         sorting = cfg.sort_rays and cs.clusters is not None
         if sorting:
             # original lane index, so the sample's outputs can be restored to
@@ -701,7 +733,12 @@ def trace_wavefront(
             hit = rec.hit & active
             ovf = path["ovf"] + trav_ovf
 
-            n_hit, mat, albedo = _hit_geometry(cs, rec, path["d"], cfg.use_shading_normals)
+            n_hit, mat, albedo, tex_usage = _hit_geometry(
+                cs, rec, path["d"], cfg.use_shading_normals,
+                demand_pool=demand_pool, demand_mask=hit,
+            )
+            if demand_pool is not None:
+                path = dict(path, tex_usage=path["tex_usage"] | tex_usage)
             p_hit = path["o"] + path["d"] * rec.t
 
             is_catcher = (mat.flags & MATERIAL_FLAG_SHADOW_CATCHER) != 0
@@ -911,6 +948,8 @@ def trace_wavefront(
             out.update(pend)
             if sorting:
                 out["idx"] = path["idx"]
+            if demand_pool is not None:
+                out["tex_usage"] = path["tex_usage"]
             return out
 
         # fused mode needs one extra iteration to flush the last shadow rays
@@ -961,18 +1000,21 @@ def trace_wavefront(
             backplate,  # last sample's backplate, as in the reference
             acc_rays + path["rays"],
             acc_ovf + path["ovf"],
+            acc_usage | path["tex_usage"] if demand_pool is not None else acc_usage,
         )
 
-    init = (zero, zero, zero, zero, zero, zero_scalar, zero_scalar)
+    usage0 = jnp.zeros(
+        (demand_pool.num_pages if demand_pool is not None else 1,), jnp.bool_
+    )
+    init = (zero, zero, zero, zero, zero, zero_scalar, zero_scalar, usage0)
     if cfg.unroll:
         carry = init
         for _s in range(loop_spp):
             carry = sample_body(jnp.uint32(_s), carry)
-        color, alpha, normal, albedo, backplate, rays, ovf_total = carry
+        color, alpha, normal, albedo, backplate, rays, ovf_total, usage = carry
     else:
-        color, alpha, normal, albedo, backplate, rays, ovf_total = jax.lax.fori_loop(
-            0, loop_spp, sample_body, init
-        )
+        (color, alpha, normal, albedo, backplate, rays, ovf_total,
+         usage) = jax.lax.fori_loop(0, loop_spp, sample_body, init)
 
     if batch:
         # fold the expanded lanes back to per-pixel sums
@@ -1000,6 +1042,7 @@ def trace_wavefront(
     return SampleOutput(
         color=color, alpha=alpha, normal=normal, albedo=albedo,
         rays_traced=rays, bfs_overflow=ovf_total,
+        tex_usage=usage if demand_pool is not None else None,
     )
 
 

@@ -405,3 +405,14 @@ class DemandTextureManager:
 
     def resident_fraction(self) -> float:
         return float((self._page_table >= 0).mean())
+
+    @classmethod
+    def from_host_scene(
+        cls, hs, capacity: int = 256, levels: int = 1
+    ) -> "DemandTextureManager":
+        """Wrap a HostScene's registered textures (in texture-id order) so
+        material.texture_id indexes this manager directly — pass the result
+        as Renderer(demand=...) to shade from the sparse pool instead of the
+        resident TexturePool."""
+        return cls([ArraySource(t) for t in hs.textures],
+                   capacity=capacity, levels=levels)
