@@ -137,11 +137,21 @@ def cmd_render(args: argparse.Namespace) -> int:
         if cfg.traversal in ("bfs", "cluster", "dense")
         else 1
     )
+    demand = None
+    if cfg.demand_textures > 0 and hs.textures:
+        from .io.demand import DemandTextureManager
+
+        demand = DemandTextureManager.from_host_scene(
+            hs, capacity=cfg.demand_textures, levels=3
+        )
+        print(f"demand textures: {demand.num_pages} pages, "
+              f"pool capacity {cfg.demand_textures}")
     r = models.make_disney_pt_renderer(
         cs, probe, camera, cfg.width, cfg.height, cfg.spp, cfg.max_depth,
         traversal=cfg.traversal, dispatch_tiles=tiles,
         emission_all_bounces=cfg.emission_all_bounces,
         nee_final_bounce=cfg.nee_final_bounce, nee_rr=cfg.nee_rr,
+        demand=demand,
     )
     if cfg.checkpoint:
         import os

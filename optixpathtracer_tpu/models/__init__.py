@@ -41,10 +41,13 @@ def make_hello_renderer(cs: CompiledScene, camera: Camera, width=1200, height=80
 
 def make_disney_pt_renderer(
     cs: CompiledScene, probe: Probe, camera: Camera,
-    width=1200, height=1024, spp=32, max_depth=8, **overrides,
+    width=1200, height=1024, spp=32, max_depth=8, demand=None, **overrides,
 ) -> Renderer:
     """Config 3: the original pathtracer — spp 32 (main.cpp:134), depth 8
-    (deviceProgram.cu:429), 1200x1024 framebuffer (main.cpp:214)."""
+    (deviceProgram.cu:429), 1200x1024 framebuffer (main.cpp:214).
+
+    demand: optional io.demand.DemandTextureManager — shade textures from
+    the sparse demand-loaded pool (pages stream in between launches)."""
     cfg = RenderConfig(
         width=width, height=height, samples_per_launch=spp, max_depth=max_depth,
         **overrides,
@@ -52,7 +55,7 @@ def make_disney_pt_renderer(
     if "traversal" not in overrides:  # platform-appropriate backend
         # explicit overrides always win over auto_tune's choices
         cfg = dataclasses.replace(auto_tune(cfg, cs.num_triangles), **overrides)
-    return Renderer(cs, probe, cfg, camera)
+    return Renderer(cs, probe, cfg, camera, demand=demand)
 
 
 def make_spectral_renderer(

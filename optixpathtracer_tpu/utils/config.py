@@ -57,6 +57,9 @@ class RunConfig:
     #   wavefront launch (same RNG streams/estimator as the reference's
     #   three sequential optixLaunches; pays the per-sweep floors once);
     #   None = auto (fused at interactive sizes, measured +16% at 640x480)
+    demand_textures: int = 0  # >0: shade scene textures from the sparse
+    #   demand-loaded pool with this tile capacity (pages stream in between
+    #   progressive launches; the reference's DemandLoading, live)
     camera: CameraSpec = dataclasses.field(default_factory=CameraSpec)
     foveation: FoveationConfig = dataclasses.field(default_factory=FoveationConfig)
 
@@ -114,6 +117,11 @@ def add_config_args(parser: argparse.ArgumentParser) -> None:
         "--nee-rr", type=float, default=None, dest="nee_rr",
         help="unbiased Russian-roulette shadow-ray scheduling threshold "
              "(potential-contribution luminance; 0 = always trace)")
+    parser.add_argument(
+        "--demand-textures", type=int, default=None, dest="demand_textures",
+        metavar="CAPACITY",
+        help="shade textures from a sparse demand-loaded tile pool of this "
+             "capacity (0 = resident textures, the default)")
     parser.add_argument("--denoise", action="store_true", default=None)
     parser.add_argument("--tonemap", default=None, choices=["none", "sqrt", "reinhard"])
     parser.add_argument("--exposure", type=float, default=None)
@@ -140,6 +148,7 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
     for field in ("model", "scene", "probe", "out", "frames", "width", "height",
                   "spp", "max_depth", "traversal", "emission_all_bounces",
                   "nee_final_bounce", "nee_rr", "fused_foveation",
+                  "demand_textures",
                   "denoise", "tonemap", "exposure", "checkpoint", "metrics"):
         v = getattr(args, field, None)
         if v is not None:
