@@ -1003,9 +1003,11 @@ def trace_wavefront(
             acc_usage | path["tex_usage"] if demand_pool is not None else acc_usage,
         )
 
+    # tied to the sharded pixel inputs (zero_scalar) so the carry is
+    # device-varying under shard_map, like every other accumulator
     usage0 = jnp.zeros(
         (demand_pool.num_pages if demand_pool is not None else 1,), jnp.bool_
-    )
+    ) & (zero_scalar < 1.0)
     init = (zero, zero, zero, zero, zero, zero_scalar, zero_scalar, usage0)
     if cfg.unroll:
         carry = init

@@ -70,43 +70,57 @@ def make_sharded_step(
     probe: Probe,
     cfg: RenderConfig,
     mesh: Mesh,
+    demand_pool=None,
 ):
     """Build the jitted multi-device progressive step.
 
-    Returned fn: (cam: CameraParams, px, py, accum: Vec3, subframe) ->
-    (new_accum, color_sum, rays) with px/py/accum sharded over 'tiles'.
+    Returned fn: (cam: CameraParams, px, py, accum: Vec3, subframe[, pool])
+    -> (new_accum, color_sum, rays[, usage]) with px/py/accum sharded over
+    'tiles'. With demand_pool given, the pool rides replicated and the
+    per-shard page-usage bitmaps are OR-reduced over the mesh (one small
+    psum per frame) so the host pager sees the union working set.
     """
+    demand = demand_pool is not None
 
-    def step(cs, probe, cam, px, py, accum, subframe):
-        out = trace_wavefront(cs, probe, cfg, cam, px, py, subframe)
+    def step(cs, probe, cam, px, py, accum, subframe, *pool):
+        out = trace_wavefront(
+            cs, probe, cfg, cam, px, py, subframe,
+            demand_pool=pool[0] if demand else None,
+        )
         new_accum = accumulate(
             accum, out.color, subframe, cfg.samples_per_launch, cfg.clamp_radiance
         )
         rays = jax.lax.psum(out.rays_traced, "tiles")
+        if demand:
+            usage = jax.lax.psum(out.tex_usage.astype(jnp.int32), "tiles") > 0
+            return new_accum, out.color, rays, usage
         return new_accum, out.color, rays
 
+    in_specs = [
+        _replicated(mesh, cs),
+        _replicated(mesh, probe),
+        _replicated(mesh, CameraParams(Vec3(0, 0, 0), Vec3(0, 0, 0), Vec3(0, 0, 0), Vec3(0, 0, 0))),
+        P("tiles"),
+        P("tiles"),
+        _sharded(mesh, Vec3(0, 0, 0)),
+        P(),
+    ]
+    out_specs = [
+        _sharded(mesh, Vec3(0, 0, 0)),
+        _sharded(mesh, Vec3(0, 0, 0)),
+        P(),
+    ]
+    if demand:
+        in_specs.append(_replicated(mesh, demand_pool))
+        out_specs.append(P())
+
     shard = jax.shard_map(
-        step,
-        mesh=mesh,
-        in_specs=(
-            _replicated(mesh, cs),
-            _replicated(mesh, probe),
-            _replicated(mesh, CameraParams(Vec3(0, 0, 0), Vec3(0, 0, 0), Vec3(0, 0, 0), Vec3(0, 0, 0))),
-            P("tiles"),
-            P("tiles"),
-            _sharded(mesh, Vec3(0, 0, 0)),
-            P(),
-        ),
-        out_specs=(
-            _sharded(mesh, Vec3(0, 0, 0)),
-            _sharded(mesh, Vec3(0, 0, 0)),
-            P(),
-        ),
+        step, mesh=mesh, in_specs=tuple(in_specs), out_specs=tuple(out_specs)
     )
 
     @jax.jit
-    def run(cam, px, py, accum, subframe):
-        return shard(cs, probe, cam, px, py, accum, subframe)
+    def run(cam, px, py, accum, subframe, *pool):
+        return shard(cs, probe, cam, px, py, accum, subframe, *pool)
 
     return run
 
@@ -121,11 +135,16 @@ class DistributedRenderer:
         config: RenderConfig,
         camera,
         mesh: Mesh | None = None,
+        demand=None,
     ):
         self.cs = compiled_scene
         self.probe = probe
         self.config = config
         self.camera = camera
+        # demand-loaded sparse textures over the mesh: the pool is
+        # replicated, every shard samples it, usage bitmaps OR-reduce over
+        # 'tiles' and the (host-side, single) pager services the union
+        self.demand = demand
         self.mesh = mesh or make_mesh()
         n_dev = self.mesh.devices.size
         assert (config.width * config.height) % n_dev == 0, (
@@ -140,13 +159,23 @@ class DistributedRenderer:
         self.accum = Vec3(*(jax.device_put(z, sharding) for _ in range(3)))
         self.subframe_index = 0
         self.last_rays = 0.0
-        self._step = make_sharded_step(compiled_scene, probe, config, self.mesh)
+        self._step = make_sharded_step(
+            compiled_scene, probe, config, self.mesh,
+            demand_pool=demand.pool if demand is not None else None,
+        )
 
     def render(self) -> None:
         cam = CameraParams.from_camera(self.camera)
-        self.accum, _, rays = self._step(
-            cam, self._px, self._py, self.accum, jnp.uint32(self.subframe_index)
-        )
+        sub = jnp.uint32(self.subframe_index)
+        if self.demand is not None:
+            self.accum, _, rays, usage = self._step(
+                cam, self._px, self._py, self.accum, sub, self.demand.pool
+            )
+            self.demand.process_requests(np.asarray(usage))
+        else:
+            self.accum, _, rays = self._step(
+                cam, self._px, self._py, self.accum, sub
+            )
         jax.block_until_ready(self.accum)
         self.subframe_index += 1
         self.last_rays = float(rays)

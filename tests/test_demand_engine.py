@@ -107,3 +107,45 @@ def test_demand_render_multi_tile_dispatch_ors_usage():
     r_ref = _setup(hs)
     r_ref.render()
     np.testing.assert_allclose(r.accum_image(), r_ref.accum_image(), atol=1e-5)
+
+
+def test_demand_render_distributed_matches_single_device():
+    """Demand textures over the device mesh: per-shard usage bitmaps
+    OR-reduce across 'tiles' (one psum/frame), the single host pager
+    services the union, and the converged sharded render equals the
+    single-device demand render exactly."""
+    from optixpathtracer_tpu.parallel.tiles import DistributedRenderer, make_mesh
+
+    hs = _textured_scene()
+    cs = compile_scene(hs)
+    probe = build_probe(np.full((8, 16, 3), 1.0, np.float32))
+    cfg = RenderConfig(width=40, height=32, samples_per_launch=2, max_depth=2)
+    cam = Camera(eye=(0, 4, 3), lookat=(0, 0, 0), up=(0, 1, 0), fov_y=60,
+                 aspect_ratio=40 / 32)
+
+    mgr_d = DemandTextureManager.from_host_scene(hs, capacity=64)
+    dist = DistributedRenderer(cs, probe, cfg, cam, mesh=make_mesh(),
+                               demand=mgr_d)
+    dist.render()  # frame 0: fallback shading + union page requests
+    assert mgr_d.pages_loaded > 0
+
+    mgr_s = DemandTextureManager.from_host_scene(hs, capacity=64)
+    single = _setup(hs, demand=mgr_s)
+    single.render()
+    # both pagers saw the same working set (union across shards == the
+    # single wavefront's set: same pixels, same RNG streams)
+    assert mgr_d.pages_loaded == mgr_s.pages_loaded
+
+    # converged frame: restart accumulation with pages resident
+    from optixpathtracer_tpu.core.math import Vec3 as _V
+    dist.accum = jax.tree.map(lambda a: a * 0, dist.accum)
+    dist.subframe_index = 0
+    dist.render()
+    r_ref = _setup(hs)  # resident TexturePool reference
+    r_ref.config = cfg
+    r_ref.render()
+    np.testing.assert_allclose(dist.accum_image(), r_ref.accum_image(),
+                               atol=1e-5)
+
+
+import jax  # noqa: E402  (used by the distributed test's accum reset)
