@@ -109,7 +109,14 @@ def main():
     # --scene loft: the bundled CLOSED textured interior (round-1 verdict:
     # the open-sky city flatters traversal and under-tests emissives /
     # textures at bench scale). Secondary number; the city stays headline.
-    loft = "--scene" in sys.argv and sys.argv[sys.argv.index("--scene") + 1] == "loft"
+    loft = False
+    if "--scene" in sys.argv:
+        i = sys.argv.index("--scene")
+        if i + 1 >= len(sys.argv):
+            print("usage: bench.py [--small] [--cpu] [--scene city|loft]",
+                  file=sys.stderr)
+            sys.exit(2)
+        loft = sys.argv[i + 1] == "loft"
     width, height = (320, 240) if small else (1200, 800)
     spp = 1 if small else 2
     n_boxes = 400 if small else 12500

@@ -77,6 +77,13 @@ def cmd_render(args: argparse.Namespace) -> int:
     state_update = timer.lap()
     print(f"scene: {cs.num_triangles} triangles (compiled in {state_update:.1f}s)")
 
+    if cfg.demand_textures > 0 and cfg.model != "disney_pt":
+        print(f"warning: --demand-textures applies to the disney_pt model "
+              f"only; ignored for --model {cfg.model}", file=sys.stderr)
+    elif cfg.demand_textures > 0 and not hs.textures:
+        print("warning: scene has no textures; --demand-textures ignored",
+              file=sys.stderr)
+
     if cfg.model == "hello_raytracing":
         r = models.make_hello_renderer(cs, camera, cfg.width, cfg.height)
         img = r.render()
@@ -141,8 +148,11 @@ def cmd_render(args: argparse.Namespace) -> int:
     if cfg.demand_textures > 0 and hs.textures:
         from .io.demand import DemandTextureManager
 
+        # levels=1: the engine samples the base level (in-engine LOD needs
+        # ray differentials — mip chains are exercised by the LOD-aware
+        # sampler and demo, examples/demand_textures_demo.py)
         demand = DemandTextureManager.from_host_scene(
-            hs, capacity=cfg.demand_textures, levels=3
+            hs, capacity=cfg.demand_textures, levels=1
         )
         print(f"demand textures: {demand.num_pages} pages, "
               f"pool capacity {cfg.demand_textures}")
@@ -215,9 +225,16 @@ def cmd_view(args: argparse.Namespace) -> int:
             nee_final_bounce=cfg.nee_final_bounce, nee_rr=cfg.nee_rr,
         )
     else:
+        demand = None
+        if cfg.demand_textures > 0 and hs.textures:
+            from .io.demand import DemandTextureManager
+
+            demand = DemandTextureManager.from_host_scene(
+                hs, capacity=cfg.demand_textures, levels=1
+            )
         r = models.make_disney_pt_renderer(
             cs, probe, camera, cfg.width, cfg.height, cfg.spp, cfg.max_depth,
-            traversal=cfg.traversal,
+            traversal=cfg.traversal, demand=demand,
         )
     run_interactive(r, camera, port=args.port, max_frames=args.max_frames)
     return 0

@@ -80,6 +80,13 @@ class Renderer:
         # cycle (DemandLoaderImpl), with non-resident hits shading fallback
         # colors until their tiles arrive.
         self.demand = demand
+        # settle: retry a launch (same subframe/RNG) until its working set is
+        # resident before folding it into the progressive mean — keeps the
+        # accumulated estimator free of fallback-shaded samples (critical on
+        # checkpoint resume: converged accum + empty pool). Set False for
+        # reference-style render-with-what's-resident behavior.
+        self.demand_settle = True
+        self.demand_settle_max = 32
         self.subframe_index = 0
         self._frame_times: list[float] = []
         self.resize(self.config.width, self.config.height)
@@ -139,13 +146,13 @@ class Renderer:
         n = self._px.shape[0]
         chunk = -(-n // tiles)
         sub = jnp.uint32(self.subframe_index)
-        dpool = self.demand.pool if self.demand is not None else None
-        if tiles == 1:
-            self.accum, frame, self._last = _render_step(
-                self.cs, self.probe, self.config, cam,
-                self._px, self._py, self.accum, sub, self.area_light, dpool,
-            )
-        else:
+        def compute():
+            dpool = self.demand.pool if self.demand is not None else None
+            if tiles == 1:
+                return _render_step(
+                    self.cs, self.probe, self.config, cam,
+                    self._px, self._py, self.accum, sub, self.area_light, dpool,
+                )
             accum_parts, frame_parts, outs = [], [], []
             for t in range(tiles):
                 s = t * chunk
@@ -159,9 +166,7 @@ class Renderer:
                 accum_parts.append(na)
                 frame_parts.append(fr)
                 outs.append(out)
-            self.accum = jax.tree.map(
-                lambda *xs: jnp.concatenate(xs), *accum_parts
-            )
+            accum = jax.tree.map(lambda *xs: jnp.concatenate(xs), *accum_parts)
             frame = jnp.concatenate(frame_parts)
 
             def _merge(*xs):
@@ -174,12 +179,33 @@ class Renderer:
                     return out
                 return jnp.concatenate(xs)
 
-            self._last = jax.tree.map(_merge, *outs)
+            return accum, frame, jax.tree.map(_merge, *outs)
+
+        if self.demand is None:
+            self.accum, frame, self._last = compute()
+        else:
+            # settle loop: a launch that touched any NON-resident page shaded
+            # those hits with flat fallback colors — folding it into the
+            # progressive mean would bake that bias in permanently (worst on
+            # checkpoint resume, where accum is converged but the pool starts
+            # empty). Service the usage bitmap and RETRY the same subframe
+            # (identical RNG) until the working set is resident, then keep
+            # exactly one unbiased launch. Bounded: each retry strictly grows
+            # residency, so it ends in ceil(working_set / capacity) passes.
+            for _ in range(max(2, self.demand_settle_max)):
+                new_accum, frame, self._last = compute()
+                usage = np.asarray(self._last.tex_usage)
+                n_pending = int((usage & (self.demand._page_table < 0)).sum())
+                self.demand.process_requests(usage)
+                if n_pending == 0 or not self.demand_settle:
+                    break
+                if int(usage.sum()) > self.demand.capacity:
+                    # the launch's working set can never be simultaneously
+                    # resident — accept the best-effort launch (the
+                    # reference's render-with-what's-resident behavior)
+                    break
+            self.accum = new_accum
         frame.block_until_ready()
-        if self.demand is not None:
-            # service this launch's page requests so the NEXT launch finds
-            # its tiles resident (progressive refinement converges pages in)
-            self.demand.process_requests(np.asarray(self._last.tex_usage))
         self.subframe_index += 1
         self._frame_u8 = frame
         self._frame_times.append(time.perf_counter() - t0)

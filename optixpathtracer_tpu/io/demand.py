@@ -182,16 +182,25 @@ def sample_demand(
         ].max(valid, mode="drop")
     else:
         # trilinear: blend the two bracketing levels (the reference's
-        # hardware sparse textures filter trilinearly); both levels'
-        # pages are reported as used, both must be resident
+        # hardware sparse textures filter trilinearly). Both levels' pages
+        # are reported as used, but when only ONE bracket is resident the
+        # lane samples that level alone instead of dropping to the flat
+        # fallback color — the reference likewise shades from the finest
+        # RESIDENT level while finer tiles stream in.
         lodc = jnp.clip(lod, 0.0, (pool.levels[tid] - 1).astype(jnp.float32))
         l0 = jnp.floor(lodc).astype(jnp.int32)
         l1 = jnp.minimum(l0 + 1, pool.levels[tid] - 1)
         f = lodc - l0.astype(jnp.float32)
         out0, res0, page0 = _sample_level(pool, tid, u, v, l0)
         out1, res1, page1 = _sample_level(pool, tid, u, v, l1)
-        out = out0 * (1.0 - f) + out1 * f
-        resident = res0 & res1
+        both = res0 & res1
+        w1 = jnp.where(both, f, jnp.where(res1, 1.0, 0.0))
+        w0 = 1.0 - w1
+        # zero the non-resident side so garbage texels never leak in
+        w0 = jnp.where(res0, w0, 0.0)
+        w1 = jnp.where(res1, w1, 0.0)
+        out = out0 * w0 + out1 * w1
+        resident = res0 | res1
         usage = (
             jnp.zeros((pool.num_pages,), jnp.bool_)
             .at[jnp.where(valid, page0, 0)].max(valid, mode="drop")

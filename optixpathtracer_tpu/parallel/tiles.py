@@ -145,6 +145,11 @@ class DistributedRenderer:
         # replicated, every shard samples it, usage bitmaps OR-reduce over
         # 'tiles' and the (host-side, single) pager services the union
         self.demand = demand
+        # same settle semantics as engine.renderer.Renderer: retry a launch
+        # until its (union) working set is resident so fallback-shaded
+        # samples never enter the progressive mean
+        self.demand_settle = True
+        self.demand_settle_max = 32
         self.mesh = mesh or make_mesh()
         n_dev = self.mesh.devices.size
         assert (config.width * config.height) % n_dev == 0, (
@@ -168,10 +173,18 @@ class DistributedRenderer:
         cam = CameraParams.from_camera(self.camera)
         sub = jnp.uint32(self.subframe_index)
         if self.demand is not None:
-            self.accum, _, rays, usage = self._step(
-                cam, self._px, self._py, self.accum, sub, self.demand.pool
-            )
-            self.demand.process_requests(np.asarray(usage))
+            for _ in range(max(2, self.demand_settle_max)):
+                new_accum, _, rays, usage = self._step(
+                    cam, self._px, self._py, self.accum, sub, self.demand.pool
+                )
+                u = np.asarray(usage)
+                n_pending = int((u & (self.demand._page_table < 0)).sum())
+                self.demand.process_requests(u)
+                if n_pending == 0 or not self.demand_settle:
+                    break
+                if int(u.sum()) > self.demand.capacity:
+                    break  # working set can never be simultaneously resident
+            self.accum = new_accum
         else:
             self.accum, _, rays = self._step(
                 cam, self._px, self._py, self.accum, sub

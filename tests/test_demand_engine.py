@@ -1,13 +1,14 @@
 """Demand-loaded textures as a first-class ENGINE path: Renderer(demand=mgr)
 shades from the sparse pool, every launch's page-usage bitmap is serviced
-between launches, and once the visible pages are resident the render is
-EXACTLY the resident-TexturePool render (both are wrap bilinear; only the
-storage differs). The reference's DemandLoader launchPrepare/processRequests
-cycle (lib/DemandLoading DemandLoaderImpl — dead code upstream) as a live
-render loop.
+between launches, and the SETTLE loop retries a launch (same subframe/RNG)
+until its working set is resident — so the progressive mean contains no
+fallback-shaded samples and equals the resident-TexturePool render EXACTLY
+(both are wrap bilinear; only the storage differs). The reference's
+DemandLoader launchPrepare/processRequests cycle (lib/DemandLoading
+DemandLoaderImpl — dead code upstream) as a live render loop.
 """
+import jax
 import numpy as np
-import jax.numpy as jnp
 
 from optixpathtracer_tpu.builder import compile_scene
 from optixpathtracer_tpu.core.camera import Camera
@@ -38,72 +39,96 @@ def _textured_scene(tex_size=3 * TILE):
     return hs
 
 
-def _setup(hs, demand=None, spp=2):
+def _cfg(**kw):
+    return RenderConfig(width=40, height=32, samples_per_launch=2, max_depth=2,
+                        **kw)
+
+
+def _setup(hs, demand=None, cfg=None):
     cs = compile_scene(hs)
     probe = build_probe(np.full((8, 16, 3), 1.0, np.float32))
-    cfg = RenderConfig(width=40, height=32, samples_per_launch=spp, max_depth=2)
     cam = Camera(eye=(0, 4, 3), lookat=(0, 0, 0), up=(0, 1, 0), fov_y=60,
                  aspect_ratio=40 / 32)
-    return Renderer(cs, probe, cfg, cam, demand=demand)
+    return Renderer(cs, probe, cfg or _cfg(), cam, demand=demand)
 
 
-def test_demand_render_converges_to_resident_render():
+def test_demand_settle_makes_frame0_exact():
+    """The settle loop retries frame 0 until pages are resident, so even the
+    FIRST progressive frame matches the resident-TexturePool render exactly
+    (identical RNG streams, identical texels)."""
     hs = _textured_scene()
     mgr = DemandTextureManager.from_host_scene(hs, capacity=64)
-
     r_demand = _setup(hs, demand=mgr)
     r_resident = _setup(hs)
-
-    # frame 0 shades misses with the fallback color and requests pages
-    r_demand.render()
-    assert mgr.pages_loaded > 0
-    loaded_f0 = mgr.pages_loaded
-
-    # restart accumulation with pages now resident: identical RNG streams,
-    # identical storage contents -> bit-comparable images
-    r_demand.accum = Vec3.zeros((40 * 32,))
-    r_demand.subframe_index = 0
     r_demand.render()
     r_resident.render()
-    a = r_demand.accum_image()
-    b = r_resident.accum_image()
-    np.testing.assert_allclose(a, b, atol=1e-5)
-    # steady state: no new pages after the working set converged
-    assert mgr.pages_loaded == loaded_f0
+    assert mgr.pages_loaded > 0
+    np.testing.assert_allclose(
+        r_demand.accum_image(), r_resident.accum_image(), atol=1e-5
+    )
+    # steady state: the next frame loads nothing new
+    before = mgr.pages_loaded
+    r_demand.render()
+    r_resident.render()
+    assert mgr.pages_loaded == before
+    np.testing.assert_allclose(
+        r_demand.accum_image(), r_resident.accum_image(), atol=1e-5
+    )
 
 
-def test_demand_render_first_frame_uses_fallback():
+def test_demand_no_settle_shows_fallback_then_converges():
+    """demand_settle=False reproduces the reference's render-with-what's-
+    resident behavior: frame 0 visibly shades fallback colors; once pages
+    are in, later launches shade exact texels."""
     hs = _textured_scene()
     mgr = DemandTextureManager.from_host_scene(hs, capacity=64)
     r = _setup(hs, demand=mgr)
-    img0 = None
+    r.demand_settle = False
     r.render()
-    img0 = r.accum_image()
-    r2 = _setup(hs)
-    r2.render()
-    ref = r2.accum_image()
-    # frame 0 differs from the resident render (fallback albedo on the quad)
-    assert float(np.abs(img0 - ref).max()) > 1e-3
-
-
-def test_demand_render_multi_tile_dispatch_ors_usage():
-    """dispatch_tiles > 1: per-chunk usage bitmaps OR together (not concat),
-    and the serviced union makes the next frame exact."""
-    hs = _textured_scene()
-    mgr = DemandTextureManager.from_host_scene(hs, capacity=64)
-    cs = compile_scene(hs)
-    probe = build_probe(np.full((8, 16, 3), 1.0, np.float32))
-    cfg = RenderConfig(width=40, height=32, samples_per_launch=2, max_depth=2,
-                       dispatch_tiles=2)
-    cam = Camera(eye=(0, 4, 3), lookat=(0, 0, 0), up=(0, 1, 0), fov_y=60,
-                 aspect_ratio=40 / 32)
-    r = Renderer(cs, probe, cfg, cam, demand=mgr)
-    r.render()
-    assert r._last.tex_usage.shape == (mgr.num_pages,)
-    assert mgr.pages_loaded > 0
+    ref = _setup(hs)
+    ref.render()
+    assert float(np.abs(r.accum_image() - ref.accum_image()).max()) > 1e-3
+    # pages were serviced; a fresh accumulation now matches exactly
     r.accum = Vec3.zeros((40 * 32,))
     r.subframe_index = 0
     r.render()
+    np.testing.assert_allclose(r.accum_image(), ref.accum_image(), atol=1e-5)
+
+
+def test_demand_checkpoint_resume_unbiased():
+    """Checkpoint resume with an EMPTY pool must not tint the converged
+    accumulation: the settle loop re-pages before folding the resumed
+    launch in (the review's worst-case scenario)."""
+    hs = _textured_scene()
+    mgr = DemandTextureManager.from_host_scene(hs, capacity=64)
+    r = _setup(hs, demand=mgr)
+    r.render()
+    r.render()
+    ck = "/tmp/demand_ck_test"
+    r.save_checkpoint(ck)
+
+    ref = _setup(hs)
+    ref.render()
+    ref.render()
+    ref.render()
+
+    mgr2 = DemandTextureManager.from_host_scene(hs, capacity=64)  # empty pool
+    r2 = _setup(hs, demand=mgr2)
+    r2.load_checkpoint(ck)
+    assert r2.subframe_index == 2
+    r2.render()  # must settle pages BEFORE accumulating subframe 2
+    np.testing.assert_allclose(r2.accum_image(), ref.accum_image(), atol=1e-5)
+
+
+def test_demand_render_multi_tile_dispatch_ors_usage():
+    """dispatch_tiles > 1: per-chunk usage bitmaps OR together (not concat)
+    and settle still produces the exact frame."""
+    hs = _textured_scene()
+    mgr = DemandTextureManager.from_host_scene(hs, capacity=64)
+    r = _setup(hs, demand=mgr, cfg=_cfg(dispatch_tiles=2))
+    r.render()
+    assert r._last.tex_usage.shape == (mgr.num_pages,)
+    assert mgr.pages_loaded > 0
     r_ref = _setup(hs)
     r_ref.render()
     np.testing.assert_allclose(r.accum_image(), r_ref.accum_image(), atol=1e-5)
@@ -112,40 +137,41 @@ def test_demand_render_multi_tile_dispatch_ors_usage():
 def test_demand_render_distributed_matches_single_device():
     """Demand textures over the device mesh: per-shard usage bitmaps
     OR-reduce across 'tiles' (one psum/frame), the single host pager
-    services the union, and the converged sharded render equals the
-    single-device demand render exactly."""
+    services the union, and the settled sharded render equals the
+    resident-TexturePool render exactly."""
     from optixpathtracer_tpu.parallel.tiles import DistributedRenderer, make_mesh
 
     hs = _textured_scene()
     cs = compile_scene(hs)
     probe = build_probe(np.full((8, 16, 3), 1.0, np.float32))
-    cfg = RenderConfig(width=40, height=32, samples_per_launch=2, max_depth=2)
+    cfg = _cfg()
     cam = Camera(eye=(0, 4, 3), lookat=(0, 0, 0), up=(0, 1, 0), fov_y=60,
                  aspect_ratio=40 / 32)
 
     mgr_d = DemandTextureManager.from_host_scene(hs, capacity=64)
     dist = DistributedRenderer(cs, probe, cfg, cam, mesh=make_mesh(),
                                demand=mgr_d)
-    dist.render()  # frame 0: fallback shading + union page requests
+    dist.render()
     assert mgr_d.pages_loaded > 0
 
+    # union working set == the single wavefront's (same pixels/streams)
     mgr_s = DemandTextureManager.from_host_scene(hs, capacity=64)
     single = _setup(hs, demand=mgr_s)
     single.render()
-    # both pagers saw the same working set (union across shards == the
-    # single wavefront's set: same pixels, same RNG streams)
     assert mgr_d.pages_loaded == mgr_s.pages_loaded
 
-    # converged frame: restart accumulation with pages resident
-    from optixpathtracer_tpu.core.math import Vec3 as _V
-    dist.accum = jax.tree.map(lambda a: a * 0, dist.accum)
-    dist.subframe_index = 0
-    dist.render()
-    r_ref = _setup(hs)  # resident TexturePool reference
-    r_ref.config = cfg
+    r_ref = _setup(hs)
     r_ref.render()
     np.testing.assert_allclose(dist.accum_image(), r_ref.accum_image(),
                                atol=1e-5)
 
 
-import jax  # noqa: E402  (used by the distributed test's accum reset)
+def test_demand_settle_bounded_when_pool_too_small():
+    """A working set larger than the pool can never settle: the renderer
+    accepts a best-effort launch instead of retrying forever."""
+    hs = _textured_scene(tex_size=6 * TILE)  # 36 base pages visible-ish
+    mgr = DemandTextureManager.from_host_scene(hs, capacity=4)
+    r = _setup(hs, demand=mgr)
+    r.render()  # must terminate (bounded), pages were still serviced
+    assert mgr.pages_loaded > 0
+    assert r.subframe_index == 1

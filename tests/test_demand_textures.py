@@ -327,3 +327,29 @@ def test_trilinear_blends_bracketing_levels():
     # both levels' pages are reported used (level-0 base grid spans >1 page)
     lvls = np.asarray(mgr._page_lvl)[np.nonzero(np.asarray(usage))[0]]
     assert set(lvls.tolist()) == {0, 1}
+
+
+def test_trilinear_partial_residency_uses_resident_level():
+    """When only ONE bracketing mip level is resident, trilinear sampling
+    uses that level alone (the reference shades from the finest RESIDENT
+    level) instead of dropping to the flat fallback color."""
+    rng = np.random.default_rng(29)
+    img = rng.uniform(0, 1, (256, 256, 3)).astype(np.float32)
+    mgr = DemandTextureManager([ArraySource(img)], capacity=96, levels=3)
+    u, v = _uvs(512, seed=31)
+    tid = jnp.zeros(u.shape, jnp.int32)
+    # make ONLY level 1 resident
+    lod1 = jnp.full(u.shape, 1.0, jnp.float32)
+    _, _, req = sample_demand(mgr.pool, tid, jnp.asarray(u), jnp.asarray(v), lod1)
+    mgr.process_requests(req)
+
+    lod = jnp.full(u.shape, 0.5, jnp.float32)  # brackets levels 0 (absent) & 1
+    c, res, usage = sample_demand(mgr.pool, tid, jnp.asarray(u), jnp.asarray(v),
+                                  lod, trilinear=True)
+    assert bool(np.asarray(res).all())  # level 1 is resident -> lane resident
+    got = np.stack([np.asarray(c.x), np.asarray(c.y), np.asarray(c.z)], -1)
+    np.testing.assert_allclose(got, ref_bilinear(_box_mip(img, 1), u, v),
+                               atol=1e-5)
+    # the absent level-0 pages are still REPORTED so the pager streams them in
+    lvls = np.asarray(mgr._page_lvl)[np.nonzero(np.asarray(usage))[0]]
+    assert 0 in set(lvls.tolist())

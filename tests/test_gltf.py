@@ -194,4 +194,4 @@ def test_gltf_undecodable_texture_degrades_to_factors(tmp_path):
     assert any("undecodable" in str(x.message) for x in w)
     m = scene.meshes[0]
     np.testing.assert_allclose(m.material["color"], (0.9, 0.1, 0.2), rtol=1e-6)
-    assert m.material.get("texture", -1) == -1 or m.material.get("tex_id", -1) == -1
+    assert m.material["texture_id"] == -1
