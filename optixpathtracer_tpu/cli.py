@@ -148,11 +148,12 @@ def cmd_render(args: argparse.Namespace) -> int:
     if cfg.demand_textures > 0 and hs.textures:
         from .io.demand import DemandTextureManager
 
-        # levels=1: the engine samples the base level (in-engine LOD needs
-        # ray differentials — mip chains are exercised by the LOD-aware
-        # sampler and demo, examples/demand_textures_demo.py)
+        # levels=4: the engine derives a per-hit mip LOD from the path-length
+        # footprint and each triangle's texel density, and samples trilinear
+        # (minified textures read coarse pages — fewer resident pages and
+        # anti-aliased minification)
         demand = DemandTextureManager.from_host_scene(
-            hs, capacity=cfg.demand_textures, levels=1
+            hs, capacity=cfg.demand_textures, levels=4
         )
         print(f"demand textures: {demand.num_pages} pages, "
               f"pool capacity {cfg.demand_textures}")

@@ -41,6 +41,7 @@ from ..core.math import (
     cross,
     dot,
     faceforward,
+    length,
     luminance,
     normalize,
     where,
@@ -173,7 +174,7 @@ class SampleOutput(NamedTuple):
 
 def _hit_geometry(
     cs: CompiledScene, rec, ray_dir: Vec3, use_shading: bool,
-    demand_pool=None, demand_mask=None,
+    demand_pool=None, demand_mask=None, demand_footprint=None,
 ):
     """Fetch per-hit position/normal/albedo inputs (the SBT-record stage).
     Returns (normal, material, albedo, tex_usage-or-None).
@@ -188,7 +189,12 @@ def _hit_geometry(
     the sparse demand-loaded pool instead of the resident TexturePool —
     non-resident hits shade with the texture's fallback color and report
     their page in the returned usage bitmap (the reference's sparse-texture
-    shading contract). demand_mask limits usage reporting to real hits."""
+    shading contract). demand_mask limits usage reporting to real hits.
+    demand_footprint (optional (N,) f32, world units): the ray's screen
+    footprint at the hit — with a multi-level pool, a mip LOD is derived
+    per hit from the triangle's texel density (sqrt of UV-area over
+    world-area) and sampling goes trilinear, so minified textures read
+    coarse pages (fewer pages resident AND anti-aliased minification)."""
     scene = cs.scene
     cl = cs.clusters
     instanced = cl is not None and cl.instanced
@@ -258,7 +264,27 @@ def _hit_geometry(
             mat.texture_id if demand_mask is None
             else jnp.where(demand_mask, mat.texture_id, -1)
         )
-        tex, _resident, usage = sample_demand(demand_pool, tex_ids, tu, tv)
+        lod = None
+        trilinear = False
+        if demand_footprint is not None and demand_pool.page_offset.shape[1] > 1:
+            # texel density from this triangle's UV-to-world mapping
+            e1, e2 = v1 - v0, v2 - v0
+            world_area = length(cross(e1, e2))
+            uv_area = jnp.abs(
+                (uv1u - uv0u) * (uv2v - uv0v) - (uv2u - uv0u) * (uv1v - uv0v)
+            )
+            tex_w = demand_pool.width[jnp.maximum(tex_ids, 0), 0]
+            texel_per_world = (
+                jnp.sqrt(uv_area / jnp.maximum(world_area, 1e-20))
+                * tex_w.astype(jnp.float32)
+            )
+            lod = jnp.log2(
+                jnp.maximum(demand_footprint * texel_per_world, 1.0)
+            )
+            trilinear = True
+        tex, _resident, usage = sample_demand(
+            demand_pool, tex_ids, tu, tv, lod=lod, trilinear=trilinear
+        )
     else:
         tex = scene.textures.sample_bilinear(mat.texture_id, tu, tv)
     albedo = where(mat.texture_id >= 0, tex, mat.color)
@@ -669,6 +695,9 @@ def trace_wavefront(
             path["tex_usage"] = jnp.zeros(
                 (demand_pool.num_pages,), jnp.bool_
             ) & (zero_scalar < 1.0)
+            # accumulated path length: drives the mip-LOD footprint when the
+            # pool carries mip levels (screen footprint grows with distance)
+            path["plen"] = zf
         sorting = cfg.sort_rays and cs.clusters is not None
         if sorting:
             # original lane index, so the sample's outputs can be restored to
@@ -733,12 +762,25 @@ def trace_wavefront(
             hit = rec.hit & active
             ovf = path["ovf"] + trav_ovf
 
+            footprint = None
+            if demand_pool is not None:
+                # per-pixel angular footprint at the accumulated hit distance
+                pix_ang = 2.0 * length(cam.v) / (
+                    h * jnp.maximum(length(cam.w), 1e-9)
+                )
+                dist = path["plen"] + jnp.where(hit, rec.t, 0.0)
+                footprint = dist * pix_ang
             n_hit, mat, albedo, tex_usage = _hit_geometry(
                 cs, rec, path["d"], cfg.use_shading_normals,
                 demand_pool=demand_pool, demand_mask=hit,
+                demand_footprint=footprint,
             )
             if demand_pool is not None:
-                path = dict(path, tex_usage=path["tex_usage"] | tex_usage)
+                path = dict(
+                    path,
+                    tex_usage=path["tex_usage"] | tex_usage,
+                    plen=jnp.where(hit, path["plen"] + rec.t, path["plen"]),
+                )
             p_hit = path["o"] + path["d"] * rec.t
 
             is_catcher = (mat.flags & MATERIAL_FLAG_SHADOW_CATCHER) != 0
@@ -950,6 +992,7 @@ def trace_wavefront(
                 out["idx"] = path["idx"]
             if demand_pool is not None:
                 out["tex_usage"] = path["tex_usage"]
+                out["plen"] = path["plen"]
             return out
 
         # fused mode needs one extra iteration to flush the last shadow rays

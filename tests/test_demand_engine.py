@@ -175,3 +175,43 @@ def test_demand_settle_bounded_when_pool_too_small():
     r.render()  # must terminate (bounded), pages were still serviced
     assert mgr.pages_loaded > 0
     assert r.subframe_index == 1
+
+
+def test_demand_engine_mip_lod_uses_coarse_pages():
+    """With a multi-level pool the engine derives a per-hit mip LOD from the
+    path-length footprint x triangle texel density: a ground plane receding
+    to the horizon must touch level>0 pages, and the settled render stays
+    close to the resident (base-level) render."""
+    rng = np.random.default_rng(37)
+    # big plane, dense texture -> far pixels have footprints >> 1 texel
+    tex = rng.uniform(0.2, 0.8, (4 * TILE, 4 * TILE, 3)).astype(np.float32)
+    hs = HostScene()
+    tid = hs.add_texture(tex)
+    s = 120.0
+    hs.add_mesh(Mesh(
+        vertices=np.array([[-s, 0, -s], [s, 0, -s], [s, 0, s], [-s, 0, s]],
+                          np.float32),
+        indices=np.array([[0, 1, 2], [0, 2, 3]], np.int32),
+        normals=np.array([[0, 1, 0]] * 4, np.float32),
+        texcoords=np.array([[0, 0], [40, 0], [40, 40], [0, 40]], np.float32),
+        material=make_material(color=(1, 1, 1), texture_id=tid),
+    ))
+    mgr = DemandTextureManager.from_host_scene(hs, capacity=256, levels=4)
+    cfg = RenderConfig(width=64, height=40, samples_per_launch=1, max_depth=1)
+    cs = compile_scene(hs)
+    probe = build_probe(np.full((8, 16, 3), 1.0, np.float32))
+    cam = Camera(eye=(0, 1.5, 8), lookat=(0, 0.5, 0), up=(0, 1, 0), fov_y=50,
+                 aspect_ratio=64 / 40)
+    r = Renderer(cs, probe, cfg, cam, demand=mgr)
+    r.render()
+    usage = np.asarray(r._last.tex_usage)
+    lvls = set(np.asarray(mgr._page_lvl)[np.nonzero(usage)[0]].tolist())
+    assert any(l > 0 for l in lvls), f"no coarse mip pages touched: {lvls}"
+    img = r.accum_image()
+    assert np.isfinite(img).all()
+    # mip filtering changes high-frequency content, not overall brightness
+    ref = _setup(hs, cfg=cfg) if False else None
+    r_ref = Renderer(cs, probe, cfg, cam)
+    r_ref.render()
+    a, b = img.mean(), r_ref.accum_image().mean()
+    assert abs(a - b) / max(b, 1e-6) < 0.1, (a, b)
