@@ -210,7 +210,6 @@ def test_demand_engine_mip_lod_uses_coarse_pages():
     img = r.accum_image()
     assert np.isfinite(img).all()
     # mip filtering changes high-frequency content, not overall brightness
-    ref = _setup(hs, cfg=cfg) if False else None
     r_ref = Renderer(cs, probe, cfg, cam)
     r_ref.render()
     a, b = img.mean(), r_ref.accum_image().mean()
