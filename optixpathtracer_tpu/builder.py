@@ -23,8 +23,10 @@ import numpy as np
 from .bvh.clusters import (
     SUPER,
     ClusterSet,
+    _cluster_tables,
     build_clusters,
     build_instanced_clusters,
+    build_tlas_clusters,
     treelet_order,
 )
 from .bvh.lbvh import BVH, build_bvh
@@ -139,3 +141,77 @@ def compile_instanced(
         wide=None,
         clusters=clusters,
     )
+
+
+def compile_tlas(
+    host: HostScene,
+    groups: list,
+    instances: list,
+    cluster_size: int = 128,
+    return_tables: bool = False,
+):
+    """General multi-BLAS TLAS compile — the reference's per-mesh GAS pool
+    with batched build + an IAS of per-instance transforms and sbtOffsets
+    (sutil/Scene.cpp:776-1150), the cluster way.
+
+    host: ONE HostScene holding every prototype's meshes (so materials and
+    textures flatten into one consistent table — the SBT).
+    groups: list of prototypes, each a list of `host.meshes` indices (a glTF
+    mesh's primitives form one prototype).
+    instances: list of (prototype_index, (4, 4) local->world transform).
+
+    Each prototype's geometry is stored ONCE in local space (its BLAS —
+    treelet-ordered, padded to the cluster-slot granule); every instance
+    adds only small world-bound entry tables + a transform row. Scene slot
+    layout is the concatenation of the prototypes' padded slot ranges, so
+    the engine's entry-slot -> triangle resolution
+    (engine/wavefront._hit_geometry) needs no change.
+
+    With return_tables=True also returns the per-prototype local tables
+    (feed them to bvh.clusters.update_tlas_transforms for per-frame rigid
+    animation without any geometry rebuild).
+    """
+    flat = host.flatten()
+    v0, v1, v2 = (np.asarray(flat["v"][k]) for k in range(3))
+    # mesh -> global triangle range (flatten concatenates meshes in order)
+    counts = [len(np.asarray(m.indices).reshape(-1, 3)) for m in host.meshes]
+    starts = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+
+    slot = SUPER * int(cluster_size)
+    orders, tables, real_counts = [], [], []
+    for meshes in groups:
+        gids = np.concatenate(
+            [np.arange(starts[mi], starts[mi + 1]) for mi in meshes]
+        )
+        t = len(gids)
+        assert t > 0, "empty prototype group"
+        ctr = (v0[gids].astype(np.float64) + v1[gids] + v2[gids]) / 3.0
+        op = gids[treelet_order(ctr, cluster_size)]
+        pad_to = max(slot, -(-t // slot) * slot)
+        if pad_to > t:  # duplicate-last padding (same convention as
+            #             compile_instanced: a duplicated triangle yields
+            #             identical hits, never wrong ones)
+            op = np.concatenate([op, np.repeat(op[-1:], pad_to - t)])
+        orders.append(op)
+        real_counts.append(t)
+        tables.append(_cluster_tables(
+            v0[op], v1[op], v2[op], num_real=pad_to, cluster_size=cluster_size
+        ))
+
+    order = np.concatenate(orders)
+    scene = device_scene_from_sorted(flat, order, len(order))
+    inst_proto = np.asarray([p for p, _ in instances], np.int64)
+    xfs = np.stack([np.asarray(m, np.float64) for _, m in instances])
+    clusters = build_tlas_clusters(
+        tables, inst_proto, xfs, cluster_size=cluster_size
+    )
+    cs = CompiledScene(
+        scene=scene,
+        bvh=None,
+        num_triangles=int(sum(real_counts[p] for p in inst_proto)),
+        wide=None,
+        clusters=clusters,
+    )
+    if return_tables:
+        return cs, tables
+    return cs

@@ -372,6 +372,129 @@ def build_instanced_clusters(
     )
 
 
+def _instance_world_tables(tbs: list, inst_proto: np.ndarray, transforms: np.ndarray):
+    """TLAS entry tables over MULTIPLE prototype BLASes.
+
+    tbs: per-prototype `_cluster_tables` dicts; inst_proto: (I,) prototype id
+    per instance; transforms: (I, 4, 4) local->world. Entries are laid out
+    instance-major (all of instance 0's supers, then instance 1's, ...);
+    member-sphere row e*SUPER+k stays the sweep kernels' contract. This is
+    the general per-mesh-GAS-pool + IAS of the reference
+    (sutil/Scene.cpp:776-1150) — `_entry_tables` is its one-prototype
+    special case."""
+    xf = np.asarray(transforms, np.float64)
+    i_n = xf.shape[0]
+    inst_proto = np.asarray(inst_proto, np.int64)
+    a = xf[:, :3, :3]
+    b = xf[:, :3, 3]
+    sigma = np.linalg.svd(a, compute_uv=False)[:, 0]  # (I,)
+    row_off = np.concatenate(
+        [[0], np.cumsum([tb["rows"].shape[0] for tb in tbs])]
+    ).astype(np.int64)
+
+    esph, esup, erow, exf = [], [], [], []
+    wlo = np.full(3, np.inf)
+    whi = np.full(3, -np.inf)
+    for i in range(i_n):
+        p = int(inst_proto[i])
+        tb = tbs[p]
+        ai, bi, si = a[i], b[i], sigma[i]
+
+        def ws(local, ai=ai, bi=bi, si=si):  # (G, 8) local -> (G, 8) world
+            out = np.zeros((local.shape[0], 8), np.float32)
+            out[:, 0:3] = local[:, 0:3] @ ai.T + bi
+            out[:, 3] = local[:, 3] * si * (1.0 + 1e-6)
+            out[:, 4:7] = local[:, 4:7] @ np.abs(ai).T
+            return out
+
+        esph.append(ws(tb["spheres"]))
+        esup.append(ws(tb["super_spheres"]))
+        sn = tb["super_spheres"].shape[0]
+        erow.append(row_off[p] + np.arange(sn, dtype=np.int64))
+        exf.append(np.full(sn, i, np.int32))
+        lo, hi = tb["local_aabb"][0:3], tb["local_aabb"][3:6]
+        corners = np.array(
+            [[x, y, z] for x in (lo[0], hi[0]) for y in (lo[1], hi[1])
+             for z in (lo[2], hi[2])]
+        )
+        wc = corners @ ai.T + bi
+        wlo = np.minimum(wlo, wc.min(axis=0))
+        whi = np.maximum(whi, wc.max(axis=0))
+
+    pad_abs = 1e-5 * max(1.0, float(np.abs(np.concatenate([wlo, whi])).max()))
+    aabb = np.zeros(8, np.float32)
+    aabb[0:3] = wlo - pad_abs
+    aabb[3:6] = whi + pad_abs
+
+    a_inv = np.linalg.inv(a)
+    b_inv = -np.einsum("iab,ib->ia", a_inv, b)
+
+    def pack(mat3, trans):
+        out = np.zeros((i_n, 16), np.float32)
+        out[:, 0:9] = mat3.reshape(i_n, 9)
+        if trans is not None:
+            out[:, 9:12] = trans
+        return out
+
+    return dict(
+        spheres=np.concatenate(esph, axis=0),
+        super_spheres=np.concatenate(esup, axis=0),
+        scene_aabb=aabb,
+        entry_row=np.concatenate(erow).astype(np.int32),
+        entry_xf=np.concatenate(exf),
+        xf_inv=pack(a_inv, b_inv),
+        xf_fwd=pack(a, b),
+        xf_invt=pack(np.linalg.inv(a).transpose(0, 2, 1), None),
+    )
+
+
+def build_tlas_clusters(
+    proto_tables: list,
+    inst_proto: np.ndarray,
+    transforms: np.ndarray,
+    cluster_size: int = 128,
+) -> ClusterSet:
+    """General TLAS ClusterSet: a POOL of prototype BLASes (each stored once)
+    + one entry per (instance, prototype supercluster) with world bounds and
+    a transform id — the reference's multi-GAS pool + IAS with per-instance
+    sbtOffset (sutil/Scene.cpp:776-1150). `build_instanced_clusters` is the
+    single-prototype special case. Update transforms without a geometry
+    rebuild via `update_tlas_transforms`."""
+    rows = np.concatenate([tb["rows"] for tb in proto_tables], axis=0)
+    et = _instance_world_tables(proto_tables, inst_proto, transforms)
+    return ClusterSet(
+        rows=jnp.asarray(rows),
+        spheres=jnp.asarray(et["spheres"]),
+        super_spheres=jnp.asarray(et["super_spheres"]),
+        scene_aabb=jnp.asarray(et["scene_aabb"]),
+        entry_row=jnp.asarray(et["entry_row"]),
+        entry_xf=jnp.asarray(et["entry_xf"]),
+        xf_inv=jnp.asarray(et["xf_inv"]),
+        xf_fwd=jnp.asarray(et["xf_fwd"]),
+        xf_invt=jnp.asarray(et["xf_invt"]),
+        cluster_size=int(cluster_size),
+        instanced=True,
+    )
+
+
+def update_tlas_transforms(
+    cs: ClusterSet, proto_tables: list, inst_proto: np.ndarray,
+    transforms: np.ndarray,
+) -> ClusterSet:
+    """New per-instance transforms, SAME prototype geometry (rows untouched)
+    — the general form of `update_instance_transforms`."""
+    et = _instance_world_tables(proto_tables, inst_proto, transforms)
+    return dataclasses.replace(
+        cs,
+        spheres=jnp.asarray(et["spheres"]),
+        super_spheres=jnp.asarray(et["super_spheres"]),
+        scene_aabb=jnp.asarray(et["scene_aabb"]),
+        xf_inv=jnp.asarray(et["xf_inv"]),
+        xf_fwd=jnp.asarray(et["xf_fwd"]),
+        xf_invt=jnp.asarray(et["xf_invt"]),
+    )
+
+
 def update_instance_transforms(
     cs: ClusterSet, local_tables: dict, transforms: np.ndarray
 ) -> ClusterSet:

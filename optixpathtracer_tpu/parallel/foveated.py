@@ -84,6 +84,7 @@ def make_fused_foveated_step(
             P("lanes"), P("lanes"), P("lanes"), P("lanes"), P(),
         ),
         out_specs=(jax.tree.map(lambda _: P("lanes"), Vec3(0.0, 0.0, 0.0)), P()),
+        check_vma=False,  # pallas_call outputs carry no vma metadata
     )
 
     def rr(a: Array, fill) -> Array:

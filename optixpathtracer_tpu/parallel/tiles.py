@@ -114,8 +114,11 @@ def make_sharded_step(
         in_specs.append(_replicated(mesh, demand_pool))
         out_specs.append(P())
 
+    # check_vma=False: the cluster backend's pallas_call outputs don't carry
+    # varying-mesh-axis metadata; the specs above fully pin the sharding
     shard = jax.shard_map(
-        step, mesh=mesh, in_specs=tuple(in_specs), out_specs=tuple(out_specs)
+        step, mesh=mesh, in_specs=tuple(in_specs), out_specs=tuple(out_specs),
+        check_vma=False,
     )
 
     @jax.jit
