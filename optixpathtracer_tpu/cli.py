@@ -19,10 +19,30 @@ def _load_scene(cfg: RunConfig):
     from .core.scene import HostScene
 
     lights = None
+    tlas = None  # (groups, instances) for --instanced glTF scenes
     if cfg.scene.lower().endswith((".gltf", ".glb")):
-        from .io.gltf import load_gltf
+        if cfg.instanced:
+            from .io.gltf import load_gltf_tlas
 
-        hs, lights = load_gltf(cfg.scene)
+            hs, groups, instances, lights = load_gltf_tlas(cfg.scene)
+            if instances:
+                tlas = (groups, instances)
+            else:
+                print("warning: --instanced: scene has no mesh nodes; "
+                      "falling back to baked load", file=sys.stderr)
+                from .io.gltf import load_gltf
+
+                hs, lights = load_gltf(cfg.scene)
+        else:
+            from .io.gltf import load_gltf
+
+            hs, lights = load_gltf(cfg.scene)
+    elif cfg.instanced and cfg.scene:
+        print("warning: --instanced applies to glTF scenes only; ignored",
+              file=sys.stderr)
+        from .io.obj import load_obj
+
+        hs = load_obj(cfg.scene)
     elif cfg.scene:
         from .io.obj import load_obj
 
@@ -34,7 +54,7 @@ def _load_scene(cfg: RunConfig):
         hs.add_box(make_material(color=(0.75, 0.75, 0.75)), pos=(0, -0.1, 0), extent=(8, 0.1, 8))
         hs.add_box(make_material(color=(0.8, 0.3, 0.2), roughness=0.5), pos=(-0.9, 0.5, 0), extent=(0.5, 0.5, 0.5))
         hs.add_box(make_material(color=(0.9, 0.8, 0.3), metallic=1.0, roughness=0.15), pos=(0.8, 0.65, 0.4), extent=(0.45, 0.65, 0.45))
-    return hs, lights
+    return hs, lights, tlas
 
 
 def _load_probe(cfg: RunConfig):
@@ -71,8 +91,20 @@ def cmd_render(args: argparse.Namespace) -> int:
     log = FrameLog(cfg.metrics or None)
     timer = Timer()
 
-    hs, _lights = _load_scene(cfg)
-    cs = compile_scene(hs, leaf_size=8)
+    hs, _lights, tlas = _load_scene(cfg)
+    if tlas is not None:
+        from .builder import compile_tlas
+
+        groups, instances = tlas
+        cs = compile_tlas(hs, groups, instances)
+        # the TLAS is a cluster-backend structure; traversal must follow
+        cfg.traversal = "cluster"
+        n_protos = len(groups)
+        print(f"TLAS: {n_protos} prototype BLAS(es), {len(instances)} "
+              f"instances, {cs.num_triangles} world triangles "
+              f"({cs.clusters.rows.shape[0]} stored superclusters)")
+    else:
+        cs = compile_scene(hs, leaf_size=8)
     probe = _load_probe(cfg)
     state_update = timer.lap()
     print(f"scene: {cs.num_triangles} triangles (compiled in {state_update:.1f}s)")
@@ -214,8 +246,14 @@ def cmd_view(args: argparse.Namespace) -> int:
         eye=cfg.camera.eye, lookat=cfg.camera.lookat, up=cfg.camera.up,
         fov_y=cfg.camera.fov_y, aspect_ratio=cfg.width / cfg.height,
     )
-    hs, _ = _load_scene(cfg)
-    cs = compile_scene(hs, leaf_size=8)
+    hs, _, tlas = _load_scene(cfg)
+    if tlas is not None:
+        from .builder import compile_tlas
+
+        cs = compile_tlas(hs, *tlas)
+        cfg.traversal = "cluster"
+    else:
+        cs = compile_scene(hs, leaf_size=8)
     probe = _load_probe(cfg)
     if cfg.model == "foveated":
         r = models.make_foveated_renderer(

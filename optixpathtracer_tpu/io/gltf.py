@@ -118,7 +118,28 @@ def _node_matrix(node: dict) -> np.ndarray:
 
 
 def load_gltf(path: str) -> tuple[HostScene, list[dict]]:
-    """Load a .gltf/.glb -> (HostScene, lights). Transforms baked to world."""
+    """Load a .gltf/.glb -> (HostScene, lights). Transforms baked to world.
+
+    For node REUSE (a mesh referenced by many nodes stored once) use
+    `load_gltf_tlas` + `builder.compile_tlas` instead — the reference's
+    per-mesh GAS pool + IAS path (sutil/Scene.cpp:776-1150)."""
+    scene, _groups, _instances, lights = _load_gltf_impl(path, instanced=False)
+    return scene, lights
+
+
+def load_gltf_tlas(path: str):
+    """Load a .gltf/.glb preserving node instancing.
+
+    Returns (HostScene, groups, instances, lights) ready for
+    `builder.compile_tlas`: each glTF mesh's primitives are emitted ONCE in
+    LOCAL space as one prototype group; every node referencing a mesh
+    becomes an (prototype, world-transform) instance. A mesh reused by N
+    nodes is stored once (the reference's Scene.cpp:1071-1150 IAS), where
+    `load_gltf` would bake and duplicate it N times."""
+    return _load_gltf_impl(path, instanced=True)
+
+
+def _load_gltf_impl(path: str, instanced: bool):
     base_dir = os.path.dirname(os.path.abspath(path))
     if path.lower().endswith(".glb"):
         gltf, glb_bin = _load_glb(path)
@@ -234,11 +255,13 @@ def load_gltf(path: str) -> tuple[HostScene, list[dict]]:
     lights: list[dict] = []
     khr = gltf.get("extensions", {}).get("KHR_lights_punctual", {}).get("lights", [])
 
+    mesh_refs: list[tuple[int, np.ndarray]] = []  # (gltf mesh idx, world)
+
     def walk(node_idx: int, parent: np.ndarray) -> None:
         node = gltf["nodes"][node_idx]
         world = parent @ _node_matrix(node)
         if "mesh" in node:
-            emit_mesh(node["mesh"], world)
+            mesh_refs.append((node["mesh"], world))
         li = node.get("extensions", {}).get("KHR_lights_punctual", {}).get("light")
         if li is not None and li < len(khr):
             spec = khr[li]
@@ -256,6 +279,27 @@ def load_gltf(path: str) -> tuple[HostScene, list[dict]]:
     for r in roots:
         walk(r, np.eye(4, dtype=np.float32))
 
+    groups: list[list[int]] = []
+    instances: list[tuple[int, np.ndarray]] = []
+    if instanced:
+        # each referenced glTF mesh becomes ONE prototype (emitted once, in
+        # local space); each referencing node one (prototype, transform)
+        proto_of: dict[int, int] = {}
+        for mi, world in mesh_refs:
+            if mi not in proto_of:
+                before = len(scene.meshes)
+                emit_mesh(mi, np.eye(4, dtype=np.float32))
+                if len(scene.meshes) == before:  # no triangle primitives
+                    proto_of[mi] = -1
+                else:
+                    proto_of[mi] = len(groups)
+                    groups.append(list(range(before, len(scene.meshes))))
+            if proto_of[mi] >= 0:
+                instances.append((proto_of[mi], np.asarray(world, np.float64)))
+    else:
+        for mi, world in mesh_refs:
+            emit_mesh(mi, world)  # transforms baked to world
+
     if not lights:
         lights.append(make_ambient_light((1.0, 1.0, 1.0), 0.8))
-    return scene, lights
+    return scene, groups, instances, lights

@@ -57,6 +57,10 @@ class RunConfig:
     #   wavefront launch (same RNG streams/estimator as the reference's
     #   three sequential optixLaunches; pays the per-sweep floors once);
     #   None = auto (fused at interactive sizes, measured +16% at 640x480)
+    instanced: bool = False  # glTF scenes: keep node reuse as a multi-BLAS
+    #   TLAS (each glTF mesh stored once + per-node transforms,
+    #   builder.compile_tlas) instead of baking transforms into duplicated
+    #   world geometry; forces the cluster traversal backend
     demand_textures: int = 0  # >0: shade scene textures from the sparse
     #   demand-loaded pool with this tile capacity (pages stream in between
     #   progressive launches; the reference's DemandLoading, live)
@@ -118,6 +122,11 @@ def add_config_args(parser: argparse.ArgumentParser) -> None:
         help="unbiased Russian-roulette shadow-ray scheduling threshold "
              "(potential-contribution luminance; 0 = always trace)")
     parser.add_argument(
+        "--instanced", action="store_true", default=None,
+        help="glTF: store each reused mesh ONCE and trace it through the "
+             "multi-BLAS TLAS (per-node transforms; cluster backend) instead "
+             "of baking duplicated world-space geometry")
+    parser.add_argument(
         "--demand-textures", type=int, default=None, dest="demand_textures",
         metavar="CAPACITY",
         help="shade textures from a sparse demand-loaded tile pool of this "
@@ -148,7 +157,7 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
     for field in ("model", "scene", "probe", "out", "frames", "width", "height",
                   "spp", "max_depth", "traversal", "emission_all_bounces",
                   "nee_final_bounce", "nee_rr", "fused_foveation",
-                  "demand_textures",
+                  "demand_textures", "instanced",
                   "denoise", "tonemap", "exposure", "checkpoint", "metrics"):
         v = getattr(args, field, None)
         if v is not None:

@@ -195,3 +195,87 @@ def test_gltf_undecodable_texture_degrades_to_factors(tmp_path):
     m = scene.meshes[0]
     np.testing.assert_allclose(m.material["color"], (0.9, 0.1, 0.2), rtol=1e-6)
     assert m.material["texture_id"] == -1
+
+
+def _reuse_gltf(tmp_path, n_nodes=6):
+    """One mesh referenced by n_nodes nodes at different translations/scales
+    (the node-reuse pattern the reference's IAS serves, Scene.cpp:1071-1150)."""
+    pos = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 1]], np.float32)
+    idx = np.array([0, 1, 2, 0, 2, 3], np.uint16)
+    bin_data = pos.tobytes() + idx.tobytes()
+    nodes = []
+    for i in range(n_nodes):
+        nodes.append({
+            "mesh": 0,
+            "translation": [2.0 * i, 0.0, -1.5 * i],
+            "scale": [1.0 + 0.2 * i] * 3,
+            "rotation": [0.0, np.sin(0.3 * i / 2), 0.0, np.cos(0.3 * i / 2)],
+        })
+    doc = {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": list(range(n_nodes))}],
+        "nodes": nodes,
+        "meshes": [{"primitives": [{"attributes": {"POSITION": 0},
+                                    "indices": 1, "material": 0}]}],
+        "materials": [{"pbrMetallicRoughness": {
+            "baseColorFactor": [0.2, 0.6, 0.9, 1.0],
+            "metallicFactor": 0.0, "roughnessFactor": 0.5}}],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 4, "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5123, "count": 6, "type": "SCALAR"},
+        ],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": 48},
+            {"buffer": 0, "byteOffset": 48, "byteLength": 12},
+        ],
+        "buffers": [{
+            "byteLength": len(bin_data),
+            "uri": "data:application/octet-stream;base64,"
+                   + base64.b64encode(bin_data).decode(),
+        }],
+    }
+    p = tmp_path / "reuse.gltf"
+    p.write_text(json.dumps(doc))
+    return str(p)
+
+
+def test_gltf_tlas_node_reuse_matches_baked(tmp_path):
+    """A mesh reused by N nodes traces ONE stored BLAS through the TLAS and
+    renders the same image as the baked loader (which duplicates it N times)."""
+    import jax.numpy as jnp
+
+    from optixpathtracer_tpu.builder import compile_scene, compile_tlas
+    from optixpathtracer_tpu.core.camera import Camera
+    from optixpathtracer_tpu.core.math import Vec3
+    from optixpathtracer_tpu.io.gltf import load_gltf_tlas
+    from optixpathtracer_tpu.ops.traverse_cluster import closest_hit_cluster
+
+    path = _reuse_gltf(tmp_path, n_nodes=6)
+    hs_t, groups, instances, _ = load_gltf_tlas(path)
+    assert len(hs_t.meshes) == 1          # stored ONCE
+    assert len(groups) == 1 and len(instances) == 6
+
+    hs_b, _ = load_gltf(path)
+    assert len(hs_b.meshes) == 6          # baked duplicates
+
+    ct = compile_tlas(hs_t, groups, instances, cluster_size=64)
+    cb = compile_scene(hs_b, cluster_size=64, build_wide_bvh=False)
+    assert ct.num_triangles == cb.num_triangles == 12
+
+    rng = np.random.default_rng(3)
+    o = rng.uniform(-3, 13, (512, 3)).astype(np.float32)
+    o[:, 1] = rng.uniform(0.2, 4.0, 512)
+    d = rng.normal(0, 1, (512, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    ov = Vec3(*(jnp.asarray(o[:, i]) for i in range(3)))
+    dv = Vec3(*(jnp.asarray(d[:, i]) for i in range(3)))
+    rt = closest_hit_cluster(ct.clusters, ov, dv, 1e-3, 1e16, interpret=True)
+    rb = closest_hit_cluster(cb.clusters, ov, dv, 1e-3, 1e16, interpret=True)
+    hit_t = np.asarray(rt.tri) >= 0
+    hit_b = np.asarray(rb.tri) >= 0
+    assert hit_t.any()
+    assert (hit_t == hit_b).all()
+    np.testing.assert_allclose(
+        np.asarray(rt.t)[hit_b], np.asarray(rb.t)[hit_b], rtol=2e-4, atol=2e-4
+    )
