@@ -229,18 +229,56 @@ def main():
     r.render()
     compile_s = time.perf_counter() - t0
 
-    # timed progressive frames
+    # multi-device: the day the environment offers a slice, the record
+    # captures it with zero changes — strip-DP over every device whose
+    # count divides the pixel grid, plus a single-device reference frame
+    # for the scaling-efficiency denominator (ref scaffold:
+    # sutil/WorkDistribution.h:34-87)
+    n_dev_avail = len(jax.devices())
+    multi = n_dev_avail > 1
     frames = 2 if small else 4
     rays = 0.0
     overflow = 0.0
-    t0 = time.perf_counter()
-    for _ in range(frames):
-        r.render()
-        rays += float(r._last.rays_traced)
-        overflow += float(r._last.bfs_overflow)
-    dt = time.perf_counter() - t0
+    scaling = None
+    if multi:
+        from optixpathtracer_tpu.parallel.tiles import (
+            DistributedRenderer,
+            make_mesh,
+        )
 
-    mrays = rays / dt / 1e6
+        devs = list(jax.devices())
+        while (width * height) % len(devs):
+            devs = devs[:-1]
+        dr = DistributedRenderer(cs, probe, cfg, cam, mesh=make_mesh(devs))
+        dr.render()  # compile + warm
+        # single-device reference frame (r is already warm)
+        t0 = time.perf_counter()
+        r.render()
+        single_dt = time.perf_counter() - t0
+        single_mrays = float(r._last.rays_traced) / single_dt / 1e6
+        overflow += float(r._last.bfs_overflow)
+        t0 = time.perf_counter()
+        for _ in range(frames):
+            dr.render()
+            rays += dr.last_rays
+        dt = time.perf_counter() - t0
+        mrays = rays / dt / 1e6
+        scaling = {
+            "n_devices": len(devs),
+            "single_device_mrays": round(single_mrays, 3),
+            "scaling_efficiency": round(
+                mrays / (len(devs) * single_mrays), 4
+            ) if single_mrays > 0 else 0.0,
+        }
+    else:
+        # timed progressive frames
+        t0 = time.perf_counter()
+        for _ in range(frames):
+            r.render()
+            rays += float(r._last.rays_traced)
+            overflow += float(r._last.bfs_overflow)
+        dt = time.perf_counter() - t0
+        mrays = rays / dt / 1e6
     fps = frames / dt
 
     # ---- quality gates: refuse a headline number from wrong images ------
@@ -267,6 +305,7 @@ def main():
                     "first_frame_incl_compile_s": round(compile_s, 2),
                     "triangles": cs.num_triangles,
                     "devices": [str(d) for d in jax.devices()][:4],
+                    "scaling": scaling,
                 }
             }
         ),
