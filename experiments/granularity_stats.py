@@ -19,18 +19,18 @@ engine-sorted incoherent bounce rays) with, for each g in {1..128}:
   exit_g     same under the PERFECT per-ray bound t <= t_hit (oracle floor)
   cap2_g     same under the pass-1 bound from walking the first 2 supers
 
-CPU-runnable (the (N, M) slab matrices are small); no TPU needed:
-    JAX_PLATFORMS=cpu python experiments/granularity_stats.py
+Run on the TPU (reductions are on-device; only scalars cross the tunnel):
+    python experiments/granularity_stats.py
 """
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 import json
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from bench import build_city_scene
@@ -87,48 +87,55 @@ def bounce_rays(cs, nr=32768, seed=0):
 
 
 def stats(cs, ov, dv, slot_of_tri):
+    """All (N, M)-sized work stays ON DEVICE (the tunnel moves ~50 MB/min;
+    only the ~two dozen scalar results are fetched)."""
     n = (ov.shape[0] // BLOCK) * BLOCK
     ov, dv = ov[:n], dv[:n]
-    hit_d, tn_d, _ = _perray(jnp.asarray(ov), jnp.asarray(dv),
-                             cs.spheres, cs.scene_aabb)
+    hit, tn, _ = _perray(jnp.asarray(ov), jnp.asarray(dv),
+                         cs.spheres, cs.scene_aabb)
     rec = closest_hit_cluster(
         cs, Vec3(*(jnp.asarray(ov[:, i]) for i in range(3))),
         Vec3(*(jnp.asarray(dv[:, i]) for i in range(3))),
     )
-    hit = np.asarray(hit_d)  # (N, M)
-    tn = np.asarray(tn_d)
-    thit = np.asarray(rec.t)
-    tri = np.asarray(rec.tri)
     m = hit.shape[1]
     c = cs.cluster_size
-    hit_cluster = np.where(tri >= 0, slot_of_tri[np.maximum(tri, 0)] // c, -1)
+    sup = jnp.asarray(slot_of_tri)
 
-    texit = (np.minimum(thit, 3e37) * (1 + 1e-5) + 1e-6)[:, None]
-    useful = hit & (tn <= texit)
+    @jax.jit
+    def reduce_all(hit, tn, thit, tri):
+        hit_cluster = jnp.where(tri >= 0, sup[jnp.maximum(tri, 0)] // c, -1)
+        texit = (jnp.minimum(thit, 3e37) * (1 + 1e-5) + 1e-6)[:, None]
+        useful = hit & (tn <= texit)
 
-    # pass-1 bound: walk the 2 nearest surviving supers of each block (by
-    # the block-level min-entry key); a ray whose true hit cluster is a
-    # member of those supers gets bound t_hit, everyone else keeps t_max
-    nb = n // BLOCK
-    hb = hit.reshape(nb, BLOCK, m)
-    tb = tn.reshape(nb, BLOCK, m)
-    skey = np.where(hb, np.maximum(tb, 0.0), np.inf).min(1)  # (nb, M)
-    skey = skey.reshape(nb, m // SUPER, SUPER).min(2)  # (nb, S)
-    first2 = np.argsort(skey, axis=1)[:, :2]  # (nb, 2)
-    hc_b = hit_cluster.reshape(nb, BLOCK)
-    in_first2 = (hc_b // SUPER == first2[:, 0:1]) | (
-        hc_b // SUPER == first2[:, 1:2]
-    )
-    bound = np.where((hc_b >= 0) & in_first2, texit.reshape(nb, BLOCK), 3e37)
-    cap2 = hit & (tn <= bound.reshape(n, 1))
+        # pass-1 bound: walk the 2 nearest surviving supers of each block
+        # (block-level min-entry key); a ray whose true hit cluster is a
+        # member of those supers gets bound t_hit, the rest keep t_max
+        nb = n // BLOCK
+        hb = hit.reshape(nb, BLOCK, m)
+        tb = tn.reshape(nb, BLOCK, m)
+        skey = jnp.where(hb, jnp.maximum(tb, 0.0), jnp.inf).min(1)
+        skey = skey.reshape(nb, m // SUPER, SUPER).min(2)  # (nb, S)
+        first2 = jnp.argsort(skey, axis=1)[:, :2]  # (nb, 2)
+        hc_b = hit_cluster.reshape(nb, BLOCK)
+        in_first2 = (hc_b // SUPER == first2[:, 0:1]) | (
+            hc_b // SUPER == first2[:, 1:2]
+        )
+        bound = jnp.where(
+            (hc_b >= 0) & in_first2, texit.reshape(nb, BLOCK), 3e37
+        )
+        cap2 = hit & (tn <= bound.reshape(n, 1))
 
-    out = {}
-    for g in GRANS:
-        ng = n // g
-        for name, mat in (("static", hit), ("exit", useful), ("cap2", cap2)):
-            cand = mat.reshape(ng, g, m).any(1).sum(1)
-            out[f"{name}_{g}"] = float(cand.mean())
-    return out
+        out = {}
+        for g in GRANS:
+            ng = n // g
+            for name, mat in (("static", hit), ("exit", useful),
+                              ("cap2", cap2)):
+                cand = mat.reshape(ng, g, m).any(1).sum(1)
+                out[f"{name}_{g}"] = cand.astype(jnp.float32).mean()
+        return out
+
+    out = reduce_all(hit, tn, rec.t, rec.tri)
+    return {k: float(v) for k, v in out.items()}
 
 
 def main():
