@@ -9,6 +9,9 @@ radii 157/515, depth 4) against uniform 8 spp. Our earlier 4.3x was at
 ideal ratio is ~36x, so this is the apples-to-apples reproduction.
 
 Run (real TPU):  python experiments/fov_4k.py [--frames N] [--skip-uniform]
+                 [--res WxH] [--fused] [--tiles N]
+
+--res 1200x800 reproduces the bench-scale comparison (ideal ratio ~5.5x).
 
 Timing hygiene: through the axon tunnel block_until_ready() returns before
 the remote computation finishes — every timed region fetches a scalar.
@@ -27,9 +30,15 @@ W, H = 3840, 2160
 
 
 def main():
+    global W, H
     frames = 3
     if "--frames" in sys.argv:
         frames = int(sys.argv[sys.argv.index("--frames") + 1])
+    if "--res" in sys.argv:
+        W, H = map(int, sys.argv[sys.argv.index("--res") + 1].split("x"))
+    tiles = 64
+    if "--tiles" in sys.argv:
+        tiles = int(sys.argv[sys.argv.index("--tiles") + 1])
 
     from optixpathtracer_tpu.builder import compile_scene
     from optixpathtracer_tpu.core.camera import Camera
@@ -81,7 +90,7 @@ def main():
     # ---- uniform 8 spp ---------------------------------------------------
     # 64 dispatch tiles keep each chunk ~1M expanded rays (the measured
     # sweet spot) and each device RPC a few seconds.
-    ucfg = RenderConfig(samples_per_launch=8, dispatch_tiles=64, **base)
+    ucfg = RenderConfig(samples_per_launch=8, dispatch_tiles=tiles, **base)
     uni = Renderer(cs, probe, ucfg, cam)
     t0 = time.perf_counter()
     uni.render(download=False)
@@ -93,8 +102,8 @@ def main():
     uni_s = time.perf_counter() - t0
     print(f"uniform: {uni_s:.2f} s/frame, {urays / uni_s / 1e6:.3f} Mrays/s "
           f"({urays / 1e6:.1f} Mrays/frame)")
-    print(f"SPEED-UP foveated vs uniform at 3840x2160: {uni_s / fov_s:.1f}x "
-          f"(reference band: 11-21x)")
+    print(f"SPEED-UP foveated vs uniform at {W}x{H}: {uni_s / fov_s:.1f}x "
+          f"(reference band at 4K: 11-21x)")
 
 
 if __name__ == "__main__":

@@ -20,6 +20,8 @@ frame — exactly mirroring the reference's three optixLaunches.
 from __future__ import annotations
 
 import dataclasses
+import functools
+import os
 import time
 from functools import partial
 
@@ -93,14 +95,61 @@ def _zone_cfg(base: RenderConfig, zone: FoveationZone) -> RenderConfig:
     return dataclasses.replace(base, samples_per_launch=zone.spp)
 
 
+@functools.lru_cache(maxsize=None)
+def _zone_lanes(zone: FoveationZone) -> tuple[np.ndarray, np.ndarray, bool]:
+    """Static (lx, ly, statically_culled) lane enumeration of a zone grid.
+
+    Two static launch-geometry optimizations over the naive row-major full
+    grid (both invisible to the estimator — RNG is seeded per pixel,
+    wavefront.py, and the splat scatters by pixel coords):
+
+    1. 16x8 TILE ORDER (the uniform renderer's dispatch shape,
+       Renderer.resize): the cluster backend culls per 128-ray block, and a
+       16x8 tile of the subsampled grid is a compact 2D bundle where a
+       scanline block spans 128*factor pixels horizontally.
+    2. STATIC ANNULUS CULL for gaze-centered zones: with the grid centered
+       on the gaze, px - gaze = lx*factor - half is gaze-INDEPENDENT, so
+       the reference's annulus test (sv4 deviceProgram.cu:421-425) is
+       static and the dead lanes can be dropped from the launch outright
+       (measured: the ring grid is ~29% dead, the fovea square's corners
+       ~21% — and per-zone Mrays/s deficits vs uniform track exactly those
+       fractions, experiments/fov_zone_decomp.py). Half-open bounds keep
+       a one-lane slack ring so the dynamic re-test stays authoritative.
+
+    Returns statically_culled=True when the annulus was applied (the
+    dynamic active mask then only adds the in-frame test)."""
+    gw, gh = zone.grid_w, zone.grid_h
+    n = gw * gh
+    ys, xs = np.divmod(np.arange(n, dtype=np.int32), gw)
+    if not os.environ.get("FOV_SCANLINE"):  # A/B hook for experiments
+        tiles_x = -(-gw // 16)
+        tile_id = (ys // 8) * tiles_x + (xs // 16)
+        within = (ys % 8) * 16 + (xs % 16)
+        perm = np.argsort(tile_id * 128 + within, kind="stable")
+        xs, ys = xs[perm], ys[perm]
+    culled = False
+    if zone.centered and not os.environ.get("FOV_NO_STATIC_CULL"):
+        # float32 arithmetic EXACTLY as the dynamic test performs it, so
+        # boundary lanes make the same in/out decision either way
+        half = gw * zone.factor // 2
+        dx = (xs * zone.factor - half).astype(np.float32)
+        dy = (ys * zone.factor - half).astype(np.float32)
+        r = np.sqrt(dx * dx + dy * dy, dtype=np.float32)
+        keep = (r >= np.float32(zone.r_inner)) & (r <= np.float32(zone.r_outer))
+        if keep.sum() and not keep.all():
+            xs, ys, culled = xs[keep], ys[keep], True
+    return xs, ys, culled
+
+
 def _zone_pixels(cfg: RenderConfig, zone: FoveationZone, gaze: Array):
     """Zone launch grid -> (px, py, active) with the annulus cull applied.
 
     Static shapes; the gaze only moves a dynamic offset (the reference's
     idx*factor + offset remap, sv4 deviceProgram.cu:419)."""
-    gw, gh = zone.grid_w, zone.grid_h
-    lx = jnp.tile(jnp.arange(gw, dtype=jnp.int32), gh)
-    ly = jnp.repeat(jnp.arange(gh, dtype=jnp.int32), gw)
+    gw = zone.grid_w
+    lx_np, ly_np, statically_culled = _zone_lanes(zone)
+    lx = jnp.asarray(lx_np)
+    ly = jnp.asarray(ly_np)
 
     if zone.centered:
         half = jnp.int32(gw * zone.factor // 2)
@@ -111,12 +160,15 @@ def _zone_pixels(cfg: RenderConfig, zone: FoveationZone, gaze: Array):
     px = lx * zone.factor + off[0]
     py = ly * zone.factor + off[1]
 
-    # annulus cull (deviceProgram.cu:421-425)
-    dx = px.astype(jnp.float32) - gaze[0].astype(jnp.float32)
-    dy = py.astype(jnp.float32) - gaze[1].astype(jnp.float32)
-    rng = jnp.sqrt(dx * dx + dy * dy)
     in_frame = (px >= 0) & (px < cfg.width) & (py >= 0) & (py < cfg.height)
-    active = (rng >= zone.r_inner) & (rng <= zone.r_outer) & in_frame
+    if statically_culled:
+        active = in_frame  # annulus already applied statically
+    else:
+        # annulus cull (deviceProgram.cu:421-425)
+        dx = px.astype(jnp.float32) - gaze[0].astype(jnp.float32)
+        dy = py.astype(jnp.float32) - gaze[1].astype(jnp.float32)
+        rng = jnp.sqrt(dx * dx + dy * dy)
+        active = (rng >= zone.r_inner) & (rng <= zone.r_outer) & in_frame
     return px, py, active
 
 

@@ -419,10 +419,38 @@ def _mt_epilogue(det, up, vp, tp, tm, best, bu, bv, btri, cid, c):
     return best, bu, bv, btri
 
 
+def _mt_epilogue_lean(det, up, vp, tp, tm, best, btri, cid, c):
+    """Epilogue-diet variant tracking only (t, tri): the u/v winner
+    selection (~8 extra (B, C) VPU ops — two mul+where+sum reductions) is
+    deferred to a post-pass OUTSIDE the kernel (`_recover_uv`), which
+    re-derives barycentrics for each ray's single winning triangle from
+    the same Cramer formulas. The sweep kernels are VPU-issue-bound
+    (PERF_NOTES.md), so per-eval ops removed are frame time saved."""
+    s = jnp.where(det >= 0.0, 1.0, -1.0).astype(_F32)
+    ad = det * s
+    us = up * s
+    vs = vp * s
+    ts = tp * s
+    pos = ad > 0.0
+    invd = jnp.where(pos, 1.0 / jnp.where(pos, ad, 1.0), 0.0)
+    t = ts * invd
+    cond = pos & (us >= 0.0) & (vs >= 0.0) & (us + vs <= ad) & (t > tm) & (t < best)
+    tcand = jnp.where(cond, t, jnp.float32(BIG_T))
+    tbest = jnp.min(tcand, axis=1, keepdims=True)
+    better = tbest < best
+    iota = jax.lax.broadcasted_iota(_I32, tcand.shape, 1)
+    jbest = jnp.min(
+        jnp.where(tcand == tbest, iota, jnp.int32(c)), axis=1, keepdims=True
+    )
+    best = jnp.where(better, tbest, best)
+    btri = jnp.where(better, cid * c + jbest, btri)
+    return best, btri
+
+
 def _closest_kernel(
     ids_ref, keys_ref, lo_ref, hi_ref, rowix_ref, xfix_ref, cnt_ref, rays_ref,
-    xf_ref, rows_hbm, t_ref, u_ref, v_ref, tri_ref,
-    rbuf, sem, acc_t, acc_u, acc_v, acc_tri, *, c: int, s: int, block: int,
+    xf_ref, rows_hbm, t_ref, tri_ref,
+    rbuf, sem, acc_t, acc_tri, *, c: int, s: int, block: int,
     groups: int,
 ):
     # 8 ray blocks per grid step (one full SMEM tile of ids/keys/bits/cnt)
@@ -439,8 +467,6 @@ def _closest_kernel(
         )  # (B, 1): t -> geometric units for the early-exit bound
 
         acc_t[:, :] = tM  # best t starts at each ray's own t_max
-        acc_u[:, :] = jnp.zeros_like(tM)
-        acc_v[:, :] = jnp.zeros_like(tM)
         acc_tri[:, :] = jnp.full_like(tM, -1).astype(_I32)
 
         def dma(j, r=r):
@@ -524,15 +550,12 @@ def _closest_kernel(
                             tuple(x[rsl] for x in dc),
                             rows_super[:, k * c : (k + 1) * c],
                         )
-                        nt, nu, nv, ntri = _mt_epilogue(
+                        nt, ntri = _mt_epilogue_lean(
                             det, up, vp, tp, tm[rsl],
-                            acc_t[rsl, :], acc_u[rsl, :], acc_v[rsl, :],
-                            acc_tri[rsl, :],
+                            acc_t[rsl, :], acc_tri[rsl, :],
                             sid * SUPER + k, c,
                         )
                         acc_t[rsl, :] = nt
-                        acc_u[rsl, :] = nu
-                        acc_v[rsl, :] = nv
                         acc_tri[rsl, :] = ntri
 
             # refreshing the early-exit bound costs a VPU->scalar sync (the
@@ -556,8 +579,6 @@ def _closest_kernel(
                 dma(i_f + k).wait()
 
         t_ref[sl, :] = acc_t[:, :]
-        u_ref[sl, :] = acc_u[:, :]
-        v_ref[sl, :] = acc_v[:, :]
         tri_ref[sl, :] = acc_tri[:, :]
 
 
@@ -766,20 +787,14 @@ def _closest_pallas(
         out_specs=[
             pl.BlockSpec((8 * block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8 * block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8 * block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8 * block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n8, 1), _F32),
-            jax.ShapeDtypeStruct((n8, 1), _F32),
             jax.ShapeDtypeStruct((n8, 1), _F32),
             jax.ShapeDtypeStruct((n8, 1), _I32),
         ],
         scratch_shapes=[
             pltpu.VMEM((_RING, STORE_ROWS, SUPER * c), _F32),
             pltpu.SemaphoreType.DMA((_RING,)),
-            pltpu.VMEM((block, 1), _F32),
-            pltpu.VMEM((block, 1), _F32),
             pltpu.VMEM((block, 1), _F32),
             pltpu.VMEM((block, 1), _I32),
         ],
@@ -806,7 +821,7 @@ def closest_hit_cluster(
     cull = block_cull(
         cs, o, d, t_min, t_max, block, pallas_cull=(False if interpret else None)
     )
-    t, u, v, tri = _closest_pallas(
+    t, tri = _closest_pallas(
         cs.rows, cs.xf_inv, cull.ids, cull.keys, cull.bits_lo, cull.bits_hi,
         cull.rowix, cull.xfix, cull.count, cull.rays8,
         block=block, interpret=interpret, cluster_size=cs.cluster_size,
@@ -817,14 +832,61 @@ def closest_hit_cluster(
     t = t[:n, 0]
     tri = tri[:n, 0]
     miss = tri < 0
+    u, v = _recover_uv(cs, o, d, tri, miss)
     if cs.tri_map is not None:  # slot id -> scene triangle id
         tri = cs.tri_map[jnp.maximum(tri, 0)]
     return HitRecord(
         t=jnp.where(miss, jnp.float32(BIG_T), t),
         tri=jnp.where(miss, -1, tri),
-        u=jnp.where(miss, 0.0, u[:n, 0]),
-        v=jnp.where(miss, 0.0, v[:n, 0]),
+        u=u,
+        v=v,
     )
+
+
+def _recover_uv(cs: ClusterSet, o: Vec3, d: Vec3, tri_slot: Array, miss: Array):
+    """Barycentrics for resolved hits — the sweep's epilogue diet.
+
+    The closest-hit kernel tracks only (t, tri): selecting u/v inside the
+    eval costs ~8 extra (B, C) VPU ops per visit on a kernel that runs at
+    the VPU issue floor. Re-deriving them here costs one (N, 16) wide-row
+    gather of the winning triangles + one xf gather + ~40 elementwise ops
+    on (N,) lanes — microseconds against the ~10% sweep savings. Uses the
+    exact same Cramer expressions as `_mt_block`/`_mt_epilogue` on the same
+    f32 inputs, so results agree with the in-kernel selection to within
+    instruction-fusion rounding (tests allow a few ulp)."""
+    ce = SUPER * cs.cluster_size
+    slot = jnp.maximum(tri_slot, 0)
+    eid = slot // ce  # entry id (instance, mesh-super) of the winner
+    lslot = cs.entry_row[eid] * ce + slot % ce  # mesh-local triangle slot
+    tri16 = jnp.swapaxes(cs.rows, 1, 2).reshape(-1, STORE_ROWS)
+    g = tri16[lslot]  # (N, 16) [v0 | e1 | e2 | pad] in mesh-local space
+    xf = cs.xf_inv[cs.entry_xf[eid]]  # (N, 16) world->instance transforms
+    ox = xf[:, 0] * o.x + xf[:, 1] * o.y + xf[:, 2] * o.z + xf[:, 9]
+    oy = xf[:, 3] * o.x + xf[:, 4] * o.y + xf[:, 5] * o.z + xf[:, 10]
+    oz = xf[:, 6] * o.x + xf[:, 7] * o.y + xf[:, 8] * o.z + xf[:, 11]
+    dx = xf[:, 0] * d.x + xf[:, 1] * d.y + xf[:, 2] * d.z
+    dy = xf[:, 3] * d.x + xf[:, 4] * d.y + xf[:, 5] * d.z
+    dz = xf[:, 6] * d.x + xf[:, 7] * d.y + xf[:, 8] * d.z
+    v0x, v0y, v0z = g[:, 0], g[:, 1], g[:, 2]
+    e1x, e1y, e1z = g[:, 3], g[:, 4], g[:, 5]
+    e2x, e2y, e2z = g[:, 6], g[:, 7], g[:, 8]
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
+    up = tx * px + ty * py + tz * pz
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    vp = dx * qx + dy * qy + dz * qz
+    s = jnp.where(det >= 0.0, 1.0, -1.0).astype(_F32)
+    ad = det * s
+    pos = ad > 0.0
+    invd = jnp.where(pos, 1.0 / jnp.where(pos, ad, 1.0), 0.0)
+    u = jnp.where(miss, 0.0, up * s * invd)
+    v = jnp.where(miss, 0.0, vp * s * invd)
+    return u, v
 
 
 def any_hit_cluster(

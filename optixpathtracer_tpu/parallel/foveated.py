@@ -38,6 +38,7 @@ from ..engine.foveated import (
     FoveationZone,
     _expand_zone_lanes,
     _fold_and_splat,
+    _zone_lanes,
 )
 from ..ops import tonemap
 from ..engine.wavefront import CameraParams, RenderConfig, trace_wavefront
@@ -57,7 +58,9 @@ def make_fused_foveated_step(
     (cam, gaze, accum, subframe) -> (new_accum, rays)."""
     n_dev = int(mesh.devices.size)
     fcfg = dataclasses.replace(cfg, samples_per_launch=1, batch_spp=False)
-    n_lanes = sum(z.grid_w * z.grid_h * z.spp for z in zones)
+    # per-zone lane counts AFTER the static annulus cull (engine.foveated
+    # _zone_lanes drops gaze-independent dead lanes from centered zones)
+    n_lanes = sum(len(_zone_lanes(z)[0]) * z.spp for z in zones)
     n_pad = ((n_lanes + n_dev - 1) // n_dev) * n_dev
     pad = n_pad - n_lanes
 

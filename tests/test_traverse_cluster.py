@@ -82,9 +82,18 @@ def test_pallas_matches_oracle(rng):
     ref = reference_closest(cs, ov, dv, 1e-3, 1e16)
     rec = closest_hit_cluster(cs, ov, dv, 1e-3, 1e16, block=128, interpret=True)
     assert (np.asarray(rec.tri) == np.asarray(ref.tri)).all()
-    assert np.abs(np.asarray(rec.t) - np.asarray(ref.t)).max() == 0.0
-    assert np.abs(np.asarray(rec.u) - np.asarray(ref.u)).max() == 0.0
-    assert np.abs(np.asarray(rec.v) - np.asarray(ref.v)).max() == 0.0
+    # the winner identity (tri) is exact — that's what the bench quality
+    # gate relies on. t/u/v are the same f32 Cramer formulas but a leaner
+    # kernel (epilogue diet) lets XLA fuse/contract differently, and u/v
+    # are re-derived outside the kernel (_recover_uv) — allow ulps.
+    hits = np.asarray(ref.tri) >= 0
+    t_rel = np.abs(np.asarray(rec.t) - np.asarray(ref.t))[hits]
+    t_rel /= np.maximum(1.0, np.abs(np.asarray(ref.t))[hits])
+    assert t_rel.max() < 1e-6
+    # small-det triangles amplify the rounding: a few e-6 absolute on
+    # barycentrics is invisible to attribute interpolation
+    assert np.abs(np.asarray(rec.u) - np.asarray(ref.u)).max() < 1e-5
+    assert np.abs(np.asarray(rec.v) - np.asarray(ref.v)).max() < 1e-5
 
 
 def test_per_ray_t_intervals_and_dead_rays(rng):
