@@ -25,6 +25,7 @@ from ..core.camera import Camera
 from ..core.math import Vec3, dot, faceforward, normalize, reflect, refract, where
 from ..core.rng import RngState, randf, tea
 from ..lights.lights import LIGHT_AMBIENT, LIGHT_POINT, LightTable
+from ..ops.curve_intersect import CurveScene, any_hit_curves, closest_hit_curves
 from ..ops.spheres import SphereScene, closest_hit_spheres
 from ..ops.dispatch import trace_closest, trace_occluded
 from ..shade import pbr
@@ -52,17 +53,22 @@ class _Hit(NamedTuple):
     n: Vec3
     mat_id: Array  # row into the sphere material table (-1 = tri hit)
     tri: Array  # triangle id (-1 = sphere hit)
+    cmat: Array  # row into the curve material table (-1 = not a curve hit)
     hit: Array
 
 
-def _closest(ss: SphereScene | None, cs: CompiledScene | None, o, d, t_min, t_max):
-    """Combined closest-hit over spheres and (optional) triangle scene."""
+def _closest(
+    ss: SphereScene | None, cs: CompiledScene | None, o, d, t_min, t_max,
+    curves: CurveScene | None = None,
+):
+    """Combined closest-hit over spheres, curves, and triangle scene."""
     n = o.x.shape[0]
     best = _Hit(
         t=jnp.full((n,), BIG_T) + o.x * 0,
         n=Vec3.zeros((n,)),
         mat_id=jnp.full((n,), -1, jnp.int32),
         tri=jnp.full((n,), -1, jnp.int32),
+        cmat=jnp.full((n,), -1, jnp.int32),
         hit=jnp.zeros((n,), bool),
     )
     if ss is not None:
@@ -73,7 +79,21 @@ def _closest(ss: SphereScene | None, cs: CompiledScene | None, o, d, t_min, t_ma
             n=where(better, Vec3(sh.nx, sh.ny, sh.nz), best.n),
             mat_id=jnp.where(better, ss.material_id[jnp.maximum(sh.sphere, 0)], best.mat_id),
             tri=best.tri,
+            cmat=best.cmat,
             hit=best.hit | (better & sh.hit),
+        )
+    if curves is not None:
+        ch = closest_hit_curves(curves, o, d, t_min, 1e16)
+        better = ch.hit & (ch.t < best.t) & (ch.t < t_max)
+        best = _Hit(
+            t=jnp.where(better, ch.t, best.t),
+            n=where(better, ch.normal, best.n),
+            mat_id=jnp.where(better, -1, best.mat_id),
+            tri=best.tri,
+            cmat=jnp.where(
+                better, curves.material_id[jnp.maximum(ch.seg, 0)], best.cmat
+            ),
+            hit=best.hit | better,
         )
     if cs is not None:
         th = trace_closest(cs, o, d, t_min, t_max)
@@ -85,17 +105,20 @@ def _closest(ss: SphereScene | None, cs: CompiledScene | None, o, d, t_min, t_ma
             n=where(better, tn, best.n),
             mat_id=jnp.where(better, -1, best.mat_id),
             tri=jnp.where(better, th.tri, best.tri),
+            cmat=jnp.where(better, -1, best.cmat),
             hit=best.hit | better,
         )
     return best
 
 
-def _occluded(ss, cs, o, d, t_min, t_max):
+def _occluded(ss, cs, o, d, t_min, t_max, curves: CurveScene | None = None):
     occ = jnp.zeros_like(o.x, bool)
     if ss is not None:
         occ = occ | closest_hit_spheres(ss, o, d, t_min, t_max).hit
     if cs is not None:
         occ = occ | trace_occluded(cs, o, d, t_min, t_max)
+    if curves is not None:
+        occ = occ | any_hit_curves(curves, o, d, t_min, t_max)
     return occ
 
 
@@ -104,7 +127,7 @@ def light_kinds(lights: LightTable) -> tuple[int, ...]:
     return tuple(int(k) for k in np.asarray(lights.kind))
 
 
-def _shade_direct(ss, cs, lights: LightTable, kinds, cfg, p, nrm, v, base_color, metallic, roughness, hit):
+def _shade_direct(ss, cs, lights: LightTable, kinds, cfg, p, nrm, v, base_color, metallic, roughness, hit, curves=None):
     """Direct lighting loop over the light table (whitted.cu:158-195)."""
     n = p.x.shape[0]
     out = Vec3.zeros((n,))
@@ -126,7 +149,7 @@ def _shade_direct(ss, cs, lights: LightTable, kinds, cfg, p, nrm, v, base_color,
             dist = jnp.sqrt(jnp.maximum(dot(to_l, to_l), 1e-20))
             l = to_l / dist
             t_max = jnp.where(hit, dist - 1e-3, 0.0)
-            occ = _occluded(ss, cs, p, l, cfg.shadow_t_min, t_max)
+            occ = _occluded(ss, cs, p, l, cfg.shadow_t_min, t_max, curves)
             contrib = pbr.direct_light(
                 base_color, metallic, roughness, nrm, v, l, lcol, ~occ & hit
             )
@@ -145,6 +168,7 @@ def render_whitted(
     pixel_y: Array,
     subframe: Array,
     kinds: tuple[int, ...] | None = None,
+    curves: CurveScene | None = None,
 ) -> Vec3:
     """One whitted sample per pixel; returns linear radiance (N,)."""
     if kinds is None:
@@ -185,7 +209,7 @@ def render_whitted(
         new_o, new_d, new_tp, new_eta, new_alive = [], [], [], [], []
         for o, d, tp, eta, live in zip(os_, ds, tps, etas, alive):
             t_max = jnp.where(live, BIG_T, 0.0)
-            hitrec = _closest(ss, cs, o, d, cfg.t_min, t_max)
+            hitrec = _closest(ss, cs, o, d, cfg.t_min, t_max, curves)
             hit = hitrec.hit & live
             # miss -> constant radiance (whitted.cu __miss__constant_radiance)
             radiance = radiance + where(live & ~hitrec.hit, tp * miss, Vec3.zeros((n,)))
@@ -214,6 +238,14 @@ def render_whitted(
                 rough = jnp.where(is_tri, tri_mat.roughness, rough)
                 transmission = jnp.where(is_tri, tri_mat.transmission, transmission)
                 ior = jnp.where(is_tri, tri_mat.index_of_refraction(), ior)
+            if curves is not None:
+                cv_mat = curves.materials.take(jnp.maximum(hitrec.cmat, 0))
+                is_cv = hitrec.cmat >= 0
+                base = where(is_cv, cv_mat.color, base)
+                metallic = jnp.where(is_cv, cv_mat.metallic, metallic)
+                rough = jnp.where(is_cv, cv_mat.roughness, rough)
+                transmission = jnp.where(is_cv, cv_mat.transmission, transmission)
+                ior = jnp.where(is_cv, cv_mat.index_of_refraction(), ior)
 
             p = o + d * hitrec.t
             nrm = faceforward(hitrec.n, -d, hitrec.n)
@@ -222,7 +254,7 @@ def render_whitted(
             # transmissive surfaces carry (almost) no diffuse term
             direct = _shade_direct(
                 ss, cs, lights, kinds, cfg, p, nrm, v,
-                base * (1.0 - transmission), metallic, rough, hit,
+                base * (1.0 - transmission), metallic, rough, hit, curves,
             )
             radiance = radiance + where(hit, tp * direct, Vec3.zeros((n,)))
 

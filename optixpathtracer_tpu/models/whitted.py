@@ -50,8 +50,10 @@ def default_scene():
 
 
 class WhittedRenderer:
-    def __init__(self, ss, cs, lights, cfg: WhittedConfig, camera: Camera):
+    def __init__(self, ss, cs, lights, cfg: WhittedConfig, camera: Camera,
+                 curves=None):
         self.ss, self.cs, self.lights = ss, cs, lights
+        self.curves = curves
         self.cfg = cfg
         self.camera = camera
         n = cfg.width * cfg.height
@@ -66,7 +68,7 @@ class WhittedRenderer:
         self._step = jax.jit(
             lambda cam, sub: render_whitted(
                 self.ss, self.cs, self.lights, self.cfg, cam, self._px, self._py,
-                sub, kinds=kinds,
+                sub, kinds=kinds, curves=self.curves,
             )
         )
 
