@@ -170,6 +170,39 @@ def cmd_render(args: argparse.Namespace) -> int:
         print(f"wrote {cfg.out} ({r.stats()})")
         return 0
 
+    if cfg.adaptive:
+        if cfg.model != "disney_pt":
+            print("warning: --adaptive applies to the disney_pt model only",
+                  file=sys.stderr)
+        r = models.make_adaptive_renderer(
+            cs, probe, camera, cfg.width, cfg.height, cfg.spp, cfg.max_depth,
+            refine_fraction=cfg.adaptive_fraction, traversal=cfg.traversal,
+            emission_all_bounces=cfg.emission_all_bounces,
+            nee_final_bounce=cfg.nee_final_bounce, nee_rr=cfg.nee_rr,
+        )
+        for _ in range(cfg.frames):
+            r.render()
+            st = r.stats()
+            log.log_frame(render_s=timer.lap(), rays=st["rays_traced"],
+                          spp=st["spp_max"])
+        st = r.stats()
+        print(f"adaptive: {st['rounds']} rounds, {st['total_samples']} "
+              f"samples (per-pixel spp {st['spp_min']}..{st['spp_max']}), "
+              f"{st['rays_traced']:.0f} rays")
+        from .ops import tonemap as tm
+        from .core.math import Vec3
+        import jax.numpy as jnp
+
+        img = r.accum_image()
+        v = Vec3(jnp.asarray(img[..., 0]), jnp.asarray(img[..., 1]),
+                 jnp.asarray(img[..., 2]))
+        disp = tm.finalize(v, mode=cfg.tonemap, exposure_stops=cfg.exposure)
+        save_png(cfg.out, np.stack(
+            [np.asarray(disp.x), np.asarray(disp.y), np.asarray(disp.z)], -1))
+        print(f"wrote {cfg.out}")
+        log.close()
+        return 0
+
     # disney_pt (default)
     tiles = (
         max(1, (cfg.width * cfg.height) // 131072)

@@ -30,6 +30,7 @@ __all__ = [
     "make_disney_pt_renderer",
     "make_spectral_renderer",
     "make_foveated_renderer",
+    "make_adaptive_renderer",
     "PRESETS",
 ]
 
@@ -90,6 +91,31 @@ def make_foveated_renderer(
         cfg = dataclasses.replace(auto_tune(cfg, cs.num_triangles), **overrides)
     return FoveatedRenderer(
         cs, probe, cfg, camera, foveation or FoveationConfig(), fused=fused
+    )
+
+
+def make_adaptive_renderer(
+    cs: CompiledScene, probe: Probe, camera: Camera,
+    width=1200, height=1024, spp=4, max_depth=4,
+    refine_fraction=0.25, warmup_spp: int | None = None, area_light=None,
+    **overrides,
+):
+    """Variance-guided adaptive sampling over the Disney PT engine
+    (beyond-parity: the reference distributes samples uniformly or by gaze).
+    Each render() after the warmup refines the top `refine_fraction` of
+    16x8 tiles by measured relative variance with `spp` fresh samples."""
+    from ..engine.adaptive import AdaptiveRenderer
+
+    cfg = RenderConfig(
+        width=width, height=height, samples_per_launch=spp, max_depth=max_depth,
+        **overrides,
+    )
+    if "traversal" not in overrides:
+        cfg = dataclasses.replace(auto_tune(cfg, cs.num_triangles), **overrides)
+    return AdaptiveRenderer(
+        cs, probe, cfg, camera, area_light=area_light,
+        warmup_spp=spp if warmup_spp is None else warmup_spp,
+        refine_spp=spp, refine_fraction=refine_fraction,
     )
 
 

@@ -64,6 +64,10 @@ class RunConfig:
     demand_textures: int = 0  # >0: shade scene textures from the sparse
     #   demand-loaded pool with this tile capacity (pages stream in between
     #   progressive launches; the reference's DemandLoading, live)
+    adaptive: bool = False  # disney_pt: variance-guided adaptive sampling —
+    #   after a uniform warmup launch, each frame refines only the
+    #   highest-variance tiles (beyond-parity; engine/adaptive.py)
+    adaptive_fraction: float = 0.25  # fraction of tiles refined per frame
     camera: CameraSpec = dataclasses.field(default_factory=CameraSpec)
     foveation: FoveationConfig = dataclasses.field(default_factory=FoveationConfig)
 
@@ -131,6 +135,15 @@ def add_config_args(parser: argparse.ArgumentParser) -> None:
         metavar="CAPACITY",
         help="shade textures from a sparse demand-loaded tile pool of this "
              "capacity (0 = resident textures, the default)")
+    parser.add_argument(
+        "--adaptive", action="store_true", default=None,
+        help="disney_pt: variance-guided adaptive sampling — frame 1 is a "
+             "uniform warmup, every further frame refines only the "
+             "highest-variance tiles (--frames controls the round count)")
+    parser.add_argument(
+        "--adaptive-fraction", type=float, default=None,
+        dest="adaptive_fraction", metavar="F",
+        help="fraction of tiles refined per adaptive round (default 0.25)")
     parser.add_argument("--denoise", action="store_true", default=None)
     parser.add_argument("--tonemap", default=None, choices=["none", "sqrt", "reinhard"])
     parser.add_argument("--exposure", type=float, default=None)
@@ -157,7 +170,8 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
     for field in ("model", "scene", "probe", "out", "frames", "width", "height",
                   "spp", "max_depth", "traversal", "emission_all_bounces",
                   "nee_final_bounce", "nee_rr", "fused_foveation",
-                  "demand_textures", "instanced",
+                  "demand_textures", "instanced", "adaptive",
+                  "adaptive_fraction",
                   "denoise", "tonemap", "exposure", "checkpoint", "metrics"):
         v = getattr(args, field, None)
         if v is not None:
