@@ -25,6 +25,26 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--slow", action="store_true", default=False,
+        help="also run tests marked slow (heavy renders; the full tier)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two-tier suite (VERDICT r2 weak #8): the default run must finish in
+    minutes so CI/the driver can actually run it; heavy renders are the
+    explicit `--slow` (or RUN_SLOW=1) tier. Every subsystem keeps at least
+    one fast test so the default tier still covers the whole surface."""
+    if config.getoption("--slow") or os.environ.get("RUN_SLOW"):
+        return
+    skip = pytest.mark.skip(reason="slow tier: pass --slow or set RUN_SLOW=1")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

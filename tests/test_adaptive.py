@@ -46,6 +46,7 @@ def test_tile_layout_covers_frame_once():
     assert not np.any((px[~valid] < 50) & (py[~valid] < 30))
 
 
+@pytest.mark.slow
 def test_full_coverage_matches_uniform_renderer():
     """refine_fraction=1.0 + equal spp == the uniform renderer's mean.
 
@@ -68,6 +69,7 @@ def test_full_coverage_matches_uniform_renderer():
     assert st["spp_min"] == st["spp_max"] == 6
 
 
+@pytest.mark.slow
 def test_refinement_concentrates_samples():
     cs, probe, cfg, cam = _setup(spp=2)
     ada = AdaptiveRenderer(
@@ -90,6 +92,7 @@ def test_refinement_concentrates_samples():
     assert np.all(np.isfinite(emap))
 
 
+@pytest.mark.slow
 def test_adaptive_beats_uniform_at_equal_rays():
     """Equal-ray-budget RMSE vs a converged reference: adaptive wins on a
     scene whose variance is concentrated (glass + metal + sun probe)."""

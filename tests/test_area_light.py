@@ -1,6 +1,7 @@
 """Parallelogram-light NEE: converges to the same image as brute-force
 emitter sampling, with far less noise (the point of NEE)."""
 import numpy as np
+import pytest
 
 from optixpathtracer_tpu.builder import compile_scene
 from optixpathtracer_tpu.core.camera import Camera
@@ -39,6 +40,7 @@ def _render(area_light, frames, spp=4):
     return r.accum_image()
 
 
+@pytest.mark.slow
 def test_quad_nee_unbiased_vs_brute_force():
     nee = _render(True, frames=6)
     bf = _render(False, frames=30)

@@ -77,6 +77,7 @@ def test_degenerate_segment_matches_sphere():
     assert np.abs(t - 3.0).max() < 2e-3  # |o| = 4, r = 1
 
 
+@pytest.mark.slow
 def test_cubic_vs_swept_sphere_oracle(rng):
     # cubic b-spline arc with varying radius; oracle = min over a dense
     # u-sampling of |closest(ray, sphere(c(u), r(u)))|
@@ -164,6 +165,7 @@ def test_multi_segment_closest_wins():
     assert abs(float(rec.t[0]) - 2.7) < 1e-4
 
 
+@pytest.mark.slow
 def test_whitted_engine_traces_curves():
     # a thick curve arching over the whitted floor must be visible in the
     # frame and cast a point-light shadow (engine-level integration)

@@ -9,6 +9,7 @@ DemandLoaderImpl — dead code upstream) as a live render loop.
 """
 import jax
 import numpy as np
+import pytest
 
 from optixpathtracer_tpu.builder import compile_scene
 from optixpathtracer_tpu.core.camera import Camera
@@ -52,6 +53,7 @@ def _setup(hs, demand=None, cfg=None):
     return Renderer(cs, probe, cfg or _cfg(), cam, demand=demand)
 
 
+@pytest.mark.slow
 def test_demand_settle_makes_frame0_exact():
     """The settle loop retries frame 0 until pages are resident, so even the
     FIRST progressive frame matches the resident-TexturePool render exactly
@@ -120,6 +122,7 @@ def test_demand_checkpoint_resume_unbiased():
     np.testing.assert_allclose(r2.accum_image(), ref.accum_image(), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_demand_render_multi_tile_dispatch_ors_usage():
     """dispatch_tiles > 1: per-chunk usage bitmaps OR together (not concat)
     and settle still produces the exact frame."""
@@ -134,6 +137,7 @@ def test_demand_render_multi_tile_dispatch_ors_usage():
     np.testing.assert_allclose(r.accum_image(), r_ref.accum_image(), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_demand_render_distributed_matches_single_device():
     """Demand textures over the device mesh: per-shard usage bitmaps
     OR-reduce across 'tiles' (one psum/frame), the single host pager
@@ -166,6 +170,7 @@ def test_demand_render_distributed_matches_single_device():
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_demand_settle_bounded_when_pool_too_small():
     """A working set larger than the pool can never settle: the renderer
     accepts a best-effort launch instead of retrying forever."""
@@ -177,6 +182,7 @@ def test_demand_settle_bounded_when_pool_too_small():
     assert r.subframe_index == 1
 
 
+@pytest.mark.slow
 def test_demand_engine_mip_lod_uses_coarse_pages():
     """With a multi-level pool the engine derives a per-hit mip LOD from the
     path-length footprint x triangle texel density: a ground plane receding

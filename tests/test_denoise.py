@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from optixpathtracer_tpu.ops.denoise import atrous_denoise, bilateral_denoise
@@ -17,6 +18,7 @@ def _noisy_scene(rng, h=48, w=64):
     return noisy, clean, normal, albedo
 
 
+@pytest.mark.slow
 def test_atrous_reduces_noise_preserves_edges(rng):
     noisy, clean, normal, albedo = _noisy_scene(rng)
     out = np.asarray(

@@ -2,6 +2,7 @@
 import dataclasses
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from optixpathtracer_tpu.builder import compile_scene
@@ -43,6 +44,7 @@ def test_dense_matches_brute_force(rng):
     )
 
 
+@pytest.mark.slow
 def test_dense_render_matches_lockstep_enclosed():
     """Enclosed cornell-style scene — the case where BFS worklists overflow."""
     from optixpathtracer_tpu.io.obj import load_obj

@@ -4,6 +4,7 @@ verdict: hello_raytracing and whitted were hardwired to lockstep, which is
 import pathlib
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from optixpathtracer_tpu.builder import compile_scene
@@ -34,6 +35,7 @@ def _rays(n=300, seed=3):
     )
 
 
+@pytest.mark.slow
 def test_all_backends_agree():
     cs = _scene()
     o, d = _rays()
@@ -50,6 +52,7 @@ def test_all_backends_agree():
         ), name
 
 
+@pytest.mark.slow
 def test_occlusion_backends_agree():
     cs = _scene()
     o, d = _rays(seed=7)

@@ -1,6 +1,7 @@
 import dataclasses
 
 import numpy as np
+import pytest
 
 from optixpathtracer_tpu.builder import compile_scene
 from optixpathtracer_tpu.core.camera import Camera
@@ -11,6 +12,7 @@ from optixpathtracer_tpu.engine.wavefront import RenderConfig
 from optixpathtracer_tpu.lights.probe import build_probe
 
 
+@pytest.mark.slow
 def test_chunked_dispatch_matches_single():
     hs = HostScene()
     hs.add_box(make_material(color=(0.8, 0.8, 0.8)), pos=(0, -0.1, 0), extent=(6, 0.1, 6))

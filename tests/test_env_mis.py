@@ -9,6 +9,7 @@ partition of unity never contributes. env_via_bsdf restores it.
 import dataclasses
 
 import numpy as np
+import pytest
 
 from optixpathtracer_tpu.builder import compile_scene
 from optixpathtracer_tpu.core.camera import Camera
@@ -38,6 +39,7 @@ def _setup(env_via_bsdf, fused=False, frames=6):
     return acc[12:24, 8:32].mean()
 
 
+@pytest.mark.slow
 def test_env_via_bsdf_recovers_furnace_energy():
     on = _setup(True)
     off = _setup(False)
@@ -49,6 +51,7 @@ def test_env_via_bsdf_recovers_furnace_energy():
     assert off < on - 0.05, (off, on)
 
 
+@pytest.mark.slow
 def test_env_via_bsdf_works_fused():
     on = _setup(True, fused=True, frames=4)
     on_ref = _setup(True, fused=False, frames=4)

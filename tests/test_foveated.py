@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from optixpathtracer_tpu.builder import compile_scene
 from optixpathtracer_tpu.core.camera import Camera
@@ -26,6 +27,7 @@ def _small_fov():
     return FoveationConfig(inner_radius=12, outer_radius=30)
 
 
+@pytest.mark.slow
 def test_foveated_covers_frame_and_matches_uniform_roughly():
     from optixpathtracer_tpu.core.math import Vec3
     import jax.numpy as jnp
@@ -84,6 +86,7 @@ def test_foveated_ray_budget_smaller_than_uniform():
     assert fr.last_rays < uni_rays * 0.45, (fr.last_rays, uni_rays)
 
 
+@pytest.mark.slow
 def test_gaze_moves_fovea():
     cs = _scene()
     cfg = RenderConfig(width=96, height=72, max_depth=1)

@@ -10,6 +10,7 @@ order differs only at mixed-coverage edge pixels (per-lane backplate
 compositing vs the batch fold's spp-mean), so interiors still match tightly.
 """
 import numpy as np
+import pytest
 
 from optixpathtracer_tpu.builder import compile_scene
 from optixpathtracer_tpu.core.camera import Camera
@@ -48,6 +49,7 @@ def _render_pair(antialias: bool, frames: int):
     return imgs, rays
 
 
+@pytest.mark.slow
 def test_fused_matches_three_launches_exactly_no_aa():
     (ia, ib), (ra, rb) = _render_pair(antialias=False, frames=3)
     np.testing.assert_allclose(ib, ia, rtol=1e-5, atol=1e-5)
@@ -55,6 +57,7 @@ def test_fused_matches_three_launches_exactly_no_aa():
     assert ra == rb, (ra, rb)
 
 
+@pytest.mark.slow
 def test_fused_matches_three_launches_with_aa():
     (ia, ib), (ra, rb) = _render_pair(antialias=True, frames=2)
     assert ra == rb, (ra, rb)

@@ -1,6 +1,7 @@
 import dataclasses
 
 import numpy as np
+import pytest
 
 from optixpathtracer_tpu.builder import compile_scene
 from optixpathtracer_tpu.core.camera import Camera
@@ -33,6 +34,7 @@ def _render(cs, probe, fused, spp=4, batch=False):
     return r
 
 
+@pytest.mark.slow
 def test_fused_matches_unfused():
     cs = _cs()
     probe = make_test_probe(32, 16)
@@ -52,6 +54,7 @@ def test_fused_matches_unfused_shadow_catcher():
     np.testing.assert_allclose(b.accum_image(), a.accum_image(), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_fused_plus_batched():
     cs = _cs()
     probe = build_probe(np.full((16, 32, 3), 0.5, np.float32))

@@ -2,6 +2,7 @@ import base64
 import json
 
 import numpy as np
+import pytest
 
 from optixpathtracer_tpu.io.gltf import load_gltf
 
@@ -240,6 +241,7 @@ def _reuse_gltf(tmp_path, n_nodes=6):
     return str(p)
 
 
+@pytest.mark.slow
 def test_gltf_tlas_node_reuse_matches_baked(tmp_path):
     """A mesh reused by N nodes traces ONE stored BLAS through the TLAS and
     renders the same image as the baked loader (which duplicates it N times)."""

@@ -20,7 +20,20 @@ GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "goldens")
 RMSE_TOL = 2e-3
 
 
-@pytest.mark.parametrize("name", sorted(GOLDENS))
+# heavy renders go to the slow tier; the fast goldens keep the default run
+# pinning at least one preset end-to-end
+_SLOW_GOLDENS = {
+    "whitted", "foveated", "loft", "disney_cornell", "disney_open", "spectral",
+}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=[pytest.mark.slow] if n in _SLOW_GOLDENS else [])
+        for n in sorted(GOLDENS)
+    ],
+)
 def test_golden(name):
     path = os.path.join(GOLDEN_DIR, f"{name}.npz")
     assert os.path.exists(path), (

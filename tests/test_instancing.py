@@ -7,6 +7,7 @@ render identically to the same scene with every instance's geometry baked
 import dataclasses
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from optixpathtracer_tpu.builder import compile_instanced, compile_scene
@@ -75,6 +76,7 @@ def _rays(n=2048, seed=1):
     )
 
 
+@pytest.mark.slow
 def test_instanced_traversal_matches_baked():
     """100 instances, ONE stored copy of the mesh: hit distances must match
     the baked-geometry scene (which stores 100 copies)."""
@@ -98,6 +100,7 @@ def test_instanced_traversal_matches_baked():
     )
 
 
+@pytest.mark.slow
 def test_instanced_render_matches_baked():
     hs = _proto()
     xfs = _transforms(25)
@@ -117,6 +120,7 @@ def test_instanced_render_matches_baked():
     assert rmse < 2e-3, rmse
 
 
+@pytest.mark.slow
 def test_dynamic_transform_update_no_rebuild():
     """Moving instances must not rebuild geometry: rows is the SAME array."""
     hs = _proto()

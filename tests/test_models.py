@@ -1,5 +1,6 @@
 """Smoke + behavior tests for the five model presets."""
 import numpy as np
+import pytest
 
 from optixpathtracer_tpu.builder import compile_scene
 from optixpathtracer_tpu.core.camera import Camera
@@ -30,6 +31,7 @@ def test_hello_raytracing_preset():
     assert img.std() > 0.02
 
 
+@pytest.mark.slow
 def test_whitted_preset_renders_reflections():
     r = models.make_whitted_renderer(width=96, height=72, max_depth=2)
     img = r.render()
@@ -42,6 +44,7 @@ def test_whitted_preset_renders_reflections():
     assert abs(img2.mean() - img.mean()) < 0.2
 
 
+@pytest.mark.slow
 def test_disney_pt_preset():
     cs, cam = _scene_cam()
     probe = build_probe(np.full((16, 32, 3), 0.5, np.float32))
@@ -51,6 +54,7 @@ def test_disney_pt_preset():
     assert r.config.samples_per_launch == 2
 
 
+@pytest.mark.slow
 def test_spectral_preset():
     cs, cam = _scene_cam()
     probe = build_probe(np.full((16, 32, 3), 0.5, np.float32))
@@ -60,6 +64,7 @@ def test_spectral_preset():
     assert np.isfinite(img).all()
 
 
+@pytest.mark.slow
 def test_foveated_preset():
     from optixpathtracer_tpu.engine.foveated import FoveationConfig
 

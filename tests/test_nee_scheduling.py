@@ -56,6 +56,7 @@ def _rgb(out):
                      np.asarray(out.color.z)])
 
 
+@pytest.mark.slow
 def test_final_bounce_skip_is_a_subset_of_always():
     """Skipping the final bounce's NEE removes only non-negative
     contributions from identical RNG streams: color_skip <= color_always
@@ -73,6 +74,7 @@ def test_final_bounce_skip_is_a_subset_of_always():
     assert np.any(np.abs(csk - cb) < 1e-7)
 
 
+@pytest.mark.slow
 def test_final_bounce_skip_fused_mode():
     cs, probe, cfg, cam, px, py = _setup()
     base = _render(cs, probe, dataclasses.replace(cfg, fused_shadows=True),

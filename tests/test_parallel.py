@@ -1,5 +1,6 @@
 """Multi-device tests on the virtual 8-CPU mesh (SURVEY.md §4 item 4)."""
 import numpy as np
+import pytest
 import jax
 
 from optixpathtracer_tpu.builder import compile_scene
@@ -43,6 +44,7 @@ def test_tile_layout_interleaves_and_inverts():
     np.testing.assert_array_equal(perm[lay.inverse], np.arange(n))
 
 
+@pytest.mark.slow
 def test_distributed_matches_single_device():
     assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
     cs = _scene()
@@ -64,6 +66,7 @@ def test_distributed_matches_single_device():
     assert dist.last_rays > 0
 
 
+@pytest.mark.slow
 def test_distributed_ray_count_psum():
     cs = _scene()
     cfg = _cfg(64, 64)

@@ -9,6 +9,7 @@ an identical zone mix by construction.
 """
 import jax
 import numpy as np
+import pytest
 from jax.sharding import Mesh
 
 from optixpathtracer_tpu.builder import compile_scene
@@ -34,6 +35,7 @@ def _setup():
     return cs, probe, cfg, cam, fov
 
 
+@pytest.mark.slow
 def test_distributed_fused_matches_single_device():
     cs, probe, cfg, cam, fov = _setup()
     mesh = Mesh(np.asarray(jax.devices()), axis_names=("lanes",))
@@ -51,6 +53,7 @@ def test_distributed_fused_matches_single_device():
     assert dist.last_rays == single.last_rays, (dist.last_rays, single.last_rays)
 
 
+@pytest.mark.slow
 def test_distributed_fused_gaze_move():
     cs, probe, cfg, cam, fov = _setup()
     mesh = Mesh(np.asarray(jax.devices()), axis_names=("lanes",))

@@ -45,6 +45,7 @@ def _renderer(cs, probe, **cfg):
     return Renderer(cs, probe, config, cam)
 
 
+@pytest.mark.slow
 def test_render_finite_and_deterministic():
     r1 = _renderer(_box_scene(), _uniform_probe())
     r2 = _renderer(_box_scene(), _uniform_probe())
@@ -57,6 +58,7 @@ def test_render_finite_and_deterministic():
     assert acc.max() > 0.01  # something is lit
 
 
+@pytest.mark.slow
 def test_progressive_accumulation_reduces_noise():
     r = _renderer(_box_scene(), _uniform_probe(), spp=1)
     r.render()
@@ -93,6 +95,7 @@ def test_emission_visible_on_primary():
     assert center.mean(axis=(0, 1))[0] > 2.0  # red channel of (5,4,3)
 
 
+@pytest.mark.slow
 def test_shadowing_darkens_under_light():
     """A/B: identical scene with and without a floating slab under an
     overhead disc light; the floor patch beneath the slab must darken."""
@@ -166,6 +169,7 @@ def test_stats_structure():
     assert s["frames"] == 1 and s["fps"] > 0 and s["total_spp"] == 2
 
 
+@pytest.mark.slow
 def test_sort_rays_bit_identical():
     """Ray-stream coherence sorting (cfg.sort_rays) must not change a single
     bit of the output: it permutes the wavefront before each bounce's
@@ -179,6 +183,7 @@ def test_sort_rays_bit_identical():
     np.testing.assert_array_equal(f_plain, f_sorted)
 
 
+@pytest.mark.slow
 def test_sort_rays_bit_identical_fused():
     cs = _box_scene()
     probe = _uniform_probe()

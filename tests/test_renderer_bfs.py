@@ -2,6 +2,7 @@
 import dataclasses
 
 import numpy as np
+import pytest
 
 from optixpathtracer_tpu.builder import compile_scene
 from optixpathtracer_tpu.core.camera import Camera
@@ -12,6 +13,7 @@ from optixpathtracer_tpu.engine.wavefront import RenderConfig
 from optixpathtracer_tpu.lights.probe import build_probe
 
 
+@pytest.mark.slow
 def test_bfs_render_matches_lockstep():
     hs = HostScene()
     hs.add_box(make_material(color=(0.8, 0.8, 0.8)), pos=(0, -0.1, 0), extent=(6, 0.1, 6))

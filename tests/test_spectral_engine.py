@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from optixpathtracer_tpu.builder import compile_scene
 from optixpathtracer_tpu.core.camera import Camera
@@ -10,6 +11,7 @@ from optixpathtracer_tpu.engine.wavefront import RenderConfig
 from optixpathtracer_tpu.lights.probe import build_probe
 
 
+@pytest.mark.slow
 def test_spectral_render_close_to_rgb_render():
     """On an untinted diffuse scene the spectral and RGB engines must agree
     (same light transport, different color math)."""
@@ -41,6 +43,7 @@ def test_spectral_render_close_to_rgb_render():
         assert abs(a - b) / max(b, 1e-6) < 0.25
 
 
+@pytest.mark.slow
 def test_spectral_tinted_metallic_error_bound():
     """Quantify the spec/diffuse-split approximation on TINTED and METALLIC
     materials (round-1 advice: the caveat was undocumented and untested).

@@ -1,5 +1,6 @@
 """Texture pipeline through the full renderer (Model.cpp loadTexture role)."""
 import numpy as np
+import pytest
 
 from optixpathtracer_tpu.builder import compile_scene
 from optixpathtracer_tpu.core.camera import Camera
@@ -33,6 +34,7 @@ def test_texture_pool_untextured_returns_white():
     assert np.all(np.asarray(c.to_array()) == 1.0)
 
 
+@pytest.mark.slow
 def test_textured_quad_renders_pattern():
     """A textured floor quad must show the texture's two halves."""
     tex = np.zeros((8, 8, 3), np.float32)

@@ -5,6 +5,7 @@ Multiple DIFFERENT prototypes, each stored once, instanced with independent
 transforms — must trace and render identically to the fully baked scene.
 """
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from optixpathtracer_tpu.builder import compile_scene, compile_tlas
@@ -77,6 +78,7 @@ def _rays(n=2048, seed=1):
     )
 
 
+@pytest.mark.slow
 def test_tlas_traversal_matches_baked():
     hs, groups = _host_with_protos()
     insts = _instances(100)
@@ -98,6 +100,7 @@ def test_tlas_traversal_matches_baked():
     )
 
 
+@pytest.mark.slow
 def test_tlas_render_matches_baked():
     """Full engine render (shading resolves entry slots across prototype
     BLAS boundaries, per-prototype materials ride the shared SBT)."""
@@ -119,6 +122,7 @@ def test_tlas_render_matches_baked():
     assert rmse < 2e-3, rmse
 
 
+@pytest.mark.slow
 def test_tlas_transform_update_no_rebuild():
     hs, groups = _host_with_protos()
     insts = _instances(10, seed=5)

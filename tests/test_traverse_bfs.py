@@ -1,5 +1,6 @@
 """BFS traversal backend vs brute-force oracle (exactness when overflow==0)."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from optixpathtracer_tpu.builder import compile_scene
@@ -53,6 +54,7 @@ def test_bfs_matches_brute_force(rng):
     )
 
 
+@pytest.mark.slow
 def test_bfs_wide_widths(rng):
     hs = _soup(rng, 150)
     o, d = _rays(rng, 256)

@@ -75,6 +75,7 @@ def test_oracle_matches_brute_force(rng, cluster_size):
     assert np.abs(np.asarray(ref.t)[hits] - bt[hits]).max() < 1e-4
 
 
+@pytest.mark.slow
 def test_pallas_matches_oracle(rng):
     v0, v1, v2 = _random_tris(rng, 300)
     cs = build_clusters(v0, v1, v2, 300, cluster_size=64)
@@ -125,6 +126,7 @@ def test_non_multiple_block_sizes(rng):
     assert (np.asarray(rec.tri) == btri).all()
 
 
+@pytest.mark.slow
 def test_any_hit_matches_closest(rng):
     v0, v1, v2 = _random_tris(rng, 150)
     cs = build_clusters(v0, v1, v2, 150, cluster_size=64)
@@ -163,6 +165,7 @@ def test_single_cluster_and_tiny_scene(rng):
     assert (np.asarray(rec.tri) == btri).all()
 
 
+@pytest.mark.slow
 def test_sub_block_gating_matches_whole_block():
     """groups=8 (per-16-ray sub-block gates) must be exactly equivalent to
     groups=1 (whole-block union gates) — the masks are conservative subsets.

@@ -3,6 +3,7 @@ import json
 import urllib.request
 
 import numpy as np
+import pytest
 
 from optixpathtracer_tpu.builder import compile_scene
 from optixpathtracer_tpu.core.camera import Camera, Trackball
@@ -24,6 +25,7 @@ def _renderer():
     return Renderer(cs, probe, cfg, cam), cam
 
 
+@pytest.mark.slow
 def test_viewer_serves_frames_and_events():
     r, cam = _renderer()
     tb = Trackball(cam)
