@@ -21,8 +21,19 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+from optixpathtracer_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+# persistent XLA executable cache: repeat suite runs skip recompiles (the
+# golden renders are compile-dominated on CPU)
+enable_compilation_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+def _run_slow_env() -> bool:
+    """RUN_SLOW=0/false/empty means OFF (conventional semantics; ADVICE r3)."""
+    return os.environ.get("RUN_SLOW", "").lower() not in ("", "0", "false")
 
 
 def pytest_addoption(parser):
@@ -35,9 +46,11 @@ def pytest_addoption(parser):
 def pytest_collection_modifyitems(config, items):
     """Two-tier suite (VERDICT r2 weak #8): the default run must finish in
     minutes so CI/the driver can actually run it; heavy renders are the
-    explicit `--slow` (or RUN_SLOW=1) tier. Every subsystem keeps at least
-    one fast test so the default tier still covers the whole surface."""
-    if config.getoption("--slow") or os.environ.get("RUN_SLOW"):
+    explicit `--slow` (or RUN_SLOW=1) tier. Every test FILE keeps at least
+    one fast test so the default tier covers every subsystem (batched spp,
+    chunked dispatch, BFS engine, fused + distributed foveation each have a
+    small fast variant alongside their full-size slow test)."""
+    if config.getoption("--slow") or _run_slow_env():
         return
     skip = pytest.mark.skip(reason="slow tier: pass --slow or set RUN_SLOW=1")
     for item in items:

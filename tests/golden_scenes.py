@@ -200,6 +200,90 @@ def render_loft(frames=2):
     return r.accum_image()
 
 
+# ---- fast-tier small variants (VERDICT r3 item 6) -------------------------
+# every preset keeps a tiny golden in the DEFAULT test tier so whitted /
+# disney / spectral / foveated / loft radiometry can't regress invisibly
+# between slow-tier runs. Same scenes and code paths, shrunk launch geometry.
+WS, HS = 48, 32
+
+
+def _cam_s(eye, lookat):
+    return Camera(eye=eye, lookat=lookat, up=(0, 1, 0), fov_y=45,
+                  aspect_ratio=WS / HS)
+
+
+def render_disney_open_small():
+    from optixpathtracer_tpu.engine.renderer import Renderer
+
+    cs = compile_scene(_open_scene())
+    cfg = RenderConfig(width=WS, height=HS, samples_per_launch=2, max_depth=2,
+                       traversal="lockstep")
+    r = Renderer(cs, _sky_probe(), cfg, _cam_s((3.2, 2.2, 4.0), (0, 0.4, 0)))
+    r.render()
+    return r.accum_image()
+
+
+def render_disney_cornell_small():
+    from optixpathtracer_tpu.engine.renderer import Renderer
+
+    cs = compile_scene(_cornell_scene())
+    probe = build_probe(np.full((8, 16, 3), 0.0, np.float32) + 1e-6)
+    light = QuadLight.make(
+        corner=(-0.5, 2.96, -0.5), v1=(1.0, 0, 0), v2=(0, 0, 1.0),
+        emission=(15.0, 13.0, 10.0),
+    )
+    cfg = RenderConfig(width=WS, height=HS, samples_per_launch=2, max_depth=2,
+                       traversal="lockstep", emission_all_bounces=True)
+    r = Renderer(cs, probe, cfg, _cam_s((0, 1.5, 5.6), (0, 1.4, 0)),
+                 area_light=light)
+    r.render()
+    return r.accum_image()
+
+
+def render_whitted_small():
+    from optixpathtracer_tpu.models.whitted import make_renderer
+
+    r = make_renderer(width=WS, height=HS, max_depth=2)
+    return r.render()
+
+
+def render_spectral_small():
+    from optixpathtracer_tpu.engine.spectral import SpectralRenderer
+
+    cs = compile_scene(_open_scene())
+    cfg = RenderConfig(width=WS, height=HS, samples_per_launch=1, max_depth=2,
+                       traversal="lockstep")
+    r = SpectralRenderer(cs, _sky_probe(), cfg, _cam_s((3.2, 2.2, 4.0), (0, 0.4, 0)))
+    return r.render()
+
+
+def render_foveated_small():
+    from optixpathtracer_tpu.engine.foveated import FoveatedRenderer, FoveationConfig
+
+    cs = compile_scene(_open_scene())
+    cfg = RenderConfig(width=WS, height=HS, samples_per_launch=1, max_depth=1,
+                       traversal="lockstep")
+    fov = FoveationConfig(inner_radius=8, outer_radius=16)
+    r = FoveatedRenderer(cs, _sky_probe(), cfg,
+                         _cam_s((3.2, 2.2, 4.0), (0, 0.4, 0)), fov)
+    r.render()
+    return r.accum_image()
+
+
+def render_loft_small():
+    from optixpathtracer_tpu.engine.renderer import Renderer
+    from optixpathtracer_tpu.io.obj import load_obj
+
+    cs = compile_scene(load_obj("scenes/loft.obj"))
+    probe = build_probe(np.full((8, 16, 3), 0.0, np.float32) + 1e-6)
+    cfg = RenderConfig(width=WS, height=HS, samples_per_launch=2, max_depth=2,
+                       traversal="lockstep", emission_all_bounces=True,
+                       use_shading_normals=True)
+    r = Renderer(cs, probe, cfg, _cam_s((-5.2, 2.4, 3.2), (2.0, 1.2, -1.0)))
+    r.render()
+    return r.accum_image()
+
+
 GOLDENS = {
     "disney_open": render_disney_open,
     "disney_cornell": render_disney_cornell,
@@ -209,4 +293,11 @@ GOLDENS = {
     "foveated": render_foveated,
     "gltf": render_gltf,
     "loft": render_loft,
+    # fast-tier small variants
+    "disney_open_s": render_disney_open_small,
+    "disney_cornell_s": render_disney_cornell_small,
+    "whitted_s": render_whitted_small,
+    "spectral_s": render_spectral_small,
+    "foveated_s": render_foveated_small,
+    "loft_s": render_loft_small,
 }

@@ -35,3 +35,22 @@ def test_chunked_dispatch_matches_single():
     aov1 = r1.aovs()
     aov4 = r4.aovs()
     np.testing.assert_allclose(aov4["normal"], aov1["normal"], rtol=1e-6)
+
+
+def test_chunked_dispatch_matches_single_fast():
+    """Small fast-tier variant of the same invariant (ADVICE r3)."""
+    hs = HostScene()
+    hs.add_box(make_material(color=(0.8, 0.8, 0.8)), pos=(0, -0.1, 0), extent=(6, 0.1, 6))
+    cs = compile_scene(hs)
+    probe = build_probe(np.full((8, 16, 3), 0.5, np.float32))
+    cfg = RenderConfig(width=32, height=16, samples_per_launch=1, max_depth=1)
+    cam = Camera(eye=(3, 2, 4), lookat=(0, 0.4, 0), up=(0, 1, 0), fov_y=45,
+                 aspect_ratio=32 / 16)
+    r1 = Renderer(cs, probe, cfg, cam)
+    r1.render()
+    r2 = Renderer(cs, probe, dataclasses.replace(cfg, dispatch_tiles=2), cam)
+    r2.render()
+    np.testing.assert_allclose(r2.accum_image(), r1.accum_image(), rtol=1e-6)
+    np.testing.assert_allclose(
+        float(r2._last.rays_traced), float(r1._last.rays_traced)
+    )

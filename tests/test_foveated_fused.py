@@ -66,3 +66,26 @@ def test_fused_matches_three_launches_with_aa():
     # per-lane and batch-fold composites are algebraically identical
     assert (diff < 1e-4).mean() > 0.97, (diff < 1e-4).mean()
     assert diff.max() < 0.5, diff.max()
+
+
+def test_fused_matches_three_launches_fast():
+    """Small fast-tier variant: exact no-AA bit-identity at 48x32 (ADVICE r3)."""
+    hs = HostScene()
+    hs.add_box(make_material(color=(0.8, 0.8, 0.8)), pos=(0, -0.1, 0), extent=(6, 0.1, 6))
+    hs.add_box(make_material(color=(0.7, 0.3, 0.2)), pos=(0, 0.5, 0), extent=(0.5, 0.5, 0.5))
+    cs = compile_scene(hs)
+    probe = build_probe(np.full((8, 16, 3), 0.5, np.float32))
+    cfg = RenderConfig(width=48, height=32, max_depth=1, antialias=False,
+                       batch_spp=True)
+    cam = Camera(eye=(3, 2, 4), lookat=(0, 0.4, 0), up=(0, 1, 0), fov_y=45,
+                 aspect_ratio=48 / 32)
+    fov = FoveationConfig(inner_radius=8, outer_radius=16)
+    imgs, rays = [], []
+    for fused in (False, True):
+        fr = FoveatedRenderer(cs, probe, cfg, cam, fov, fused=fused)
+        fr.set_gaze(24, 16)
+        fr.render()
+        imgs.append(fr.accum_image())
+        rays.append(fr.last_rays)
+    np.testing.assert_allclose(imgs[1], imgs[0], rtol=1e-5, atol=1e-5)
+    assert rays[0] == rays[1], rays

@@ -20,11 +20,14 @@ GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "goldens")
 RMSE_TOL = 2e-3
 
 
-# heavy renders go to the slow tier; the fast goldens keep the default run
-# pinning at least one preset end-to-end
+# heavy renders go to the slow tier; every preset also has a small fast-tier
+# golden (the *_s variants in golden_scenes.py) so the default run pins the
+# whole radiometric surface (VERDICT r3 item 6)
 _SLOW_GOLDENS = {
     "whitted", "foveated", "loft", "disney_cornell", "disney_open", "spectral",
 }
+# a renamed/removed golden must fail loudly, not silently unmark (ADVICE r3)
+assert _SLOW_GOLDENS <= set(GOLDENS), _SLOW_GOLDENS - set(GOLDENS)
 
 
 @pytest.mark.parametrize(

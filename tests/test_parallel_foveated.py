@@ -65,3 +65,24 @@ def test_distributed_fused_gaze_move():
     img = dist.accum_image()
     assert np.isfinite(img).all()
     assert img.max() > 0.0
+
+
+def test_distributed_fused_matches_single_device_fast():
+    """Small fast-tier variant of the exact-match invariant (ADVICE r3)."""
+    hs = HostScene()
+    hs.add_box(make_material(color=(0.8, 0.8, 0.8)), pos=(0, -0.1, 0), extent=(6, 0.1, 6))
+    cs = compile_scene(hs)
+    probe = build_probe(np.full((8, 16, 3), 0.5, np.float32))
+    cfg = RenderConfig(width=48, height=32, max_depth=1, antialias=False)
+    cam = Camera(eye=(3, 2, 4), lookat=(0, 0.4, 0), up=(0, 1, 0), fov_y=45,
+                 aspect_ratio=48 / 32)
+    fov = FoveationConfig(inner_radius=8, outer_radius=16)
+    mesh = Mesh(np.asarray(jax.devices()), axis_names=("lanes",))
+    single = FoveatedRenderer(cs, probe, cfg, cam, fov, fused=True)
+    dist = DistributedFoveatedRenderer(cs, probe, cfg, cam, fov, mesh=mesh)
+    for r in (single, dist):
+        r.set_gaze(24, 16)
+        r.render()
+    np.testing.assert_allclose(dist.accum_image(), single.accum_image(),
+                               rtol=1e-6, atol=1e-6)
+    assert dist.last_rays == single.last_rays
