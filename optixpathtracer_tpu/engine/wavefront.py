@@ -46,7 +46,7 @@ from ..core.math import (
     normalize,
     where,
 )
-from ..core.rng import RngState, randf, tea
+from ..core.rng import RngState, randf, randf2, tea
 from ..lights.probe import (
     Probe,
     dir_to_uv,
@@ -124,6 +124,25 @@ class RenderConfig:
     #   probability p = clamp(lum/nee_rr, 0.05, 1) and its contribution
     #   scaled by 1/p — an unbiased estimator that skips most deep-path
     #   shadow rays (they sort to dead blocks and cost ~nothing).
+    sampling: str = "random"  # per-sample uniform strategy for the variance-
+    #   dominant 2D draws (AA jitter, first-bounce NEE probe pair, first-
+    #   bounce BSDF lobe direction) — the reference's Sample1D/Sample2D
+    #   compile-time strategy switch (sample.h:238-289) as a runtime knob:
+    #   "random"     plain RNG stream (reference USE_RANDOM=1 behavior);
+    #   "stratified" per-pixel-scrambled jittered strata: sample index i of a
+    #                pixel lands in stratum (i + scramble(pixel)) % m of an
+    #                sqrt(m) x sqrt(m) grid, jittered within the stratum —
+    #                every consecutive m samples of a pixel cover all strata
+    #                exactly once (unbiased; sample.h StratifiedSample2D);
+    #   "blue"       projective-blue-noise point set (sample.h
+    #                ProjectiveBlueNoise :133-214) with a fresh per-(pixel,
+    #                epoch) Cranley-Patterson rotation each m-sample epoch
+    #                (rotation by an independent uniform keeps every draw
+    #                marginally uniform => unbiased).
+    #   Deeper-bounce draws always come from the plain stream (their
+    #   dimensions decorrelate too fast for stratification to pay).
+    sampling_strata: int = 64  # strata / blue-noise points per pixel epoch
+    #   (stratified mode needs a perfect square)
     sort_rays: bool = False  # reorder the path wavefront by a spatial
     #   coherence key (dead-bit | origin Morton cell | direction octant |
     #   direction fine bits) before every bounce's traversal. The cluster
@@ -390,6 +409,65 @@ def _coherence_key(o: Vec3, d: Vec3, done: Array, aabb: Array) -> Array:
     )
 
 
+# distinct salts decorrelate the three stratified dimension-pairs (AA /
+# first-bounce NEE / first-bounce BSDF) per pixel
+_LD_SALT_AA = 0x51ED270B
+_LD_SALT_NEE = 0x85EBCA6B
+_LD_SALT_BSDF = 0xC2B2AE35
+
+
+def _blue_noise_table(m: int):
+    import functools
+
+    @functools.lru_cache(maxsize=4)
+    def build(n):
+        from ..core.sampling import projective_blue_noise
+
+        return projective_blue_noise(n, dim=2, candidates=24, seed=7)
+
+    return build(m)
+
+
+def _u32_to_unit(bits: Array) -> Array:
+    """uint32 -> [0, 1) float32."""
+    return jnp.minimum(
+        bits.astype(jnp.float32) * jnp.float32(1.0 / 4294967296.0),
+        jnp.float32(0.999999),
+    )
+
+
+def _ld_bases(cfg: RenderConfig, pix_index: Array, ctr: Array, salt: int):
+    """Deterministic low-discrepancy stratum base for sample `ctr` of each
+    pixel, for one dimension pair. Returns (b1, b2, scale): the consumer
+    draws jitter (j1, j2) from the RNG stream and uses b + j * scale.
+
+    stratified: base = stratum corner, scale = 1/sqrt(m) — jittered strata,
+    visited in a per-pixel rotated order so neighboring pixels decorrelate.
+    blue: base = CP-rotated blue-noise point, scale = 0 — each m-sample
+    epoch applies a fresh per-(pixel, epoch) rotation, so expectations stay
+    uniform while each epoch keeps the table's blue spectrum."""
+    m = cfg.sampling_strata
+    off = tea(pix_index, jnp.uint32(salt))
+    idx = (ctr + off) % jnp.uint32(m)
+    if cfg.sampling == "stratified":
+        dx = int(round(m ** 0.5))
+        if dx * dx != m:
+            raise ValueError(f"sampling_strata={m} must be a perfect square")
+        b1 = (idx % dx).astype(jnp.float32) / dx
+        b2 = (idx // dx).astype(jnp.float32) / dx
+        return b1, b2, 1.0 / dx
+    if cfg.sampling == "blue":
+        table = jnp.asarray(_blue_noise_table(m))  # (m, 2) constant
+        epoch = (ctr + off) // jnp.uint32(m)
+        r1 = _u32_to_unit(tea(pix_index ^ jnp.uint32(salt), epoch * 2))
+        r2 = _u32_to_unit(tea(pix_index ^ jnp.uint32(salt), epoch * 2 + 1))
+        pt = table[idx]
+        b1 = jnp.mod(pt[..., 0] + r1, 1.0)
+        b2 = jnp.mod(pt[..., 1] + r2, 1.0)
+        return b1, b2, 0.0
+    raise ValueError(f"unknown sampling strategy {cfg.sampling!r}")
+
+
 def _pack_u32(leaves: list[Array]) -> Array:
     """Bit-pack same-shape (N,) leaves of mixed dtype into one (N, F) u32
     matrix (bools widen exactly; f32/i32 bitcast — bytes move, no math)."""
@@ -449,11 +527,13 @@ def _sort_path(path: dict, key: Array) -> dict:
     return {**{k: path[k] for k in scalars if k in path}, **moved}
 
 
-def _nee_sample(cs, probe, cfg, p, n, wo, mat, albedo, eta_i, eta_o, state):
+def _nee_sample(cs, probe, cfg, p, n, wo, mat, albedo, eta_i, eta_o, state,
+                u12=None):
     """Draw the probe NEE sample and its MIS-weighted contribution WITHOUT
     tracing visibility (SampleLights math, deviceProgram.cu:252-292).
-    Returns (state, wi, contrib, valid)."""
-    state, wi, sky_color, sky_pdf = probe_sample(probe, state)
+    Returns (state, wi, contrib, valid). u12: optional low-discrepancy
+    uniform pair for the probe draw (RenderConfig.sampling)."""
+    state, wi, sky_color, sky_pdf = probe_sample(probe, state, u12=u12)
 
     b_pdf = disney.bsdf_pdf(mat, eta_i, eta_o, n, wo, wi)
     f = disney.bsdf_eval(mat, albedo, eta_i, eta_o, n, wo, wi)
@@ -510,14 +590,14 @@ def _nee_rr(cfg, state, throughput, contrib, valid):
 
 
 def _nee(cs, probe, cfg, p, n, wo, mat, albedo, eta_i, eta_o, active, state,
-         throughput=None):
+         throughput=None, u12=None):
     """NEE with immediate visibility trace. Returns (state,
     unshadowed_contrib_if_visible, shadowed_contrib_if_occluded, overflow,
     traced_mask) — `shadowed` feeds the shadow-catcher path (SampleShadow
     :294-334); `traced_mask` is which lanes actually traced a shadow ray
     (the bench ray count)."""
     state, wi, contrib, valid = _nee_sample(
-        cs, probe, cfg, p, n, wo, mat, albedo, eta_i, eta_o, state
+        cs, probe, cfg, p, n, wo, mat, albedo, eta_i, eta_o, state, u12=u12
     )
     if cfg.nee_rr > 0.0:
         state, contrib, valid = _nee_rr(cfg, state, throughput, contrib, valid)
@@ -654,9 +734,26 @@ def trace_wavefront(
             seed_ctr = subframe.astype(jnp.uint32) * cfg.samples_per_launch + s_eff
         state = RngState.seed(tea(pix_index, seed_ctr))
 
+        # low-discrepancy strategy (cfg.sampling): deterministic stratum
+        # bases per (pixel, sample counter), computed HERE so they ride the
+        # path sorts as ordinary per-lane leaves; the within-stratum jitter
+        # is drawn from the normal stream at the consumer (stream advance
+        # counts stay identical across strategies)
+        ld = cfg.sampling != "random"
+        ldsc = 0.0
+        ld_leaves = {}
+        if ld:
+            n1, n2, ldsc = _ld_bases(cfg, pix_index, seed_ctr, _LD_SALT_NEE)
+            b1, b2, _ = _ld_bases(cfg, pix_index, seed_ctr, _LD_SALT_BSDF)
+            ld_leaves = dict(ld_n1=n1, ld_n2=n2, ld_b1=b1, ld_b2=b2)
+
         if cfg.antialias:
             state, jx = randf(state)
             state, jy = randf(state)
+            if ld:
+                a1, a2, _ = _ld_bases(cfg, pix_index, seed_ctr, _LD_SALT_AA)
+                jx = a1 + jx * ldsc
+                jy = a2 + jy * ldsc
         else:
             jx = jnp.full((n,), 0.5)
             jy = jnp.full((n,), 0.5)
@@ -690,6 +787,7 @@ def trace_wavefront(
             # probability, not a solid-angle density, so MIS weights that mix
             # it with area pdfs are meaningless and must be forced to 1
             prev_delta=zf > 1.0,
+            **ld_leaves,
         )
         if demand_pool is not None:
             path["tex_usage"] = jnp.zeros(
@@ -797,6 +895,16 @@ def trace_wavefront(
             # ---- NEE ----
             eta_o = jnp.where(path["eta"] == 1.0, mat.index_of_refraction(), 1.0)
             wo = -path["d"]
+
+            def ld_pair(st, key1, key2):
+                """First-bounce low-discrepancy pair: stratum base + stream
+                jitter at depth 0, plain stream draws deeper (same stream
+                advance either way)."""
+                st, j1, j2 = randf2(st)
+                u1 = jnp.where(is_primary_sweep, path[key1] + j1 * ldsc, j1)
+                u2 = jnp.where(is_primary_sweep, path[key2] + j2 * ldsc, j2)
+                return st, (u1, u2)
+
             plain = shaded & ~is_catcher
             catcher_primary = shaded & is_catcher
             if skip_nee:
@@ -814,9 +922,13 @@ def trace_wavefront(
                 alpha = where(plain, Vec3.ones((n,)), path["alpha"])
             elif cfg.fused_shadows:
                 # sample NEE now; its shadow ray rides the NEXT traversal
+                st = path["state"]
+                u12_nee = None
+                if ld:
+                    st, u12_nee = ld_pair(st, "ld_n1", "ld_n2")
                 state, wi, contrib, nee_valid = _nee_sample(
                     cs, probe, cfg, p_hit, n_hit, wo, mat, albedo,
-                    path["eta"], eta_o, path["state"],
+                    path["eta"], eta_o, st, u12=u12_nee,
                 )
                 if cfg.nee_rr > 0.0:
                     state, contrib, nee_valid = _nee_rr(
@@ -841,10 +953,14 @@ def trace_wavefront(
                 radiance = path["radiance"]
                 alpha = where(plain, Vec3.ones((n,)), path["alpha"])
             else:
+                st = path["state"]
+                u12_nee = None
+                if ld:
+                    st, u12_nee = ld_pair(st, "ld_n1", "ld_n2")
                 state, lit, shadowed, nee_ovf, shadow_traced = _nee(
                     cs, probe, cfg, p_hit, n_hit, wo, mat, albedo,
-                    path["eta"], eta_o, shaded, path["state"],
-                    throughput=path["throughput"],
+                    path["eta"], eta_o, shaded, st,
+                    throughput=path["throughput"], u12=u12_nee,
                 )
                 ovf = ovf + nee_ovf
                 pend = {}
@@ -940,8 +1056,11 @@ def trace_wavefront(
 
             # ---- BSDF continuation ----
             tb, bb = basis_from_vector(n_hit)
+            u12_bsdf = None
+            if ld:
+                state, u12_bsdf = ld_pair(state, "ld_b1", "ld_b2")
             state, res = disney.bsdf_sample(
-                mat, path["eta"], eta_o, tb, bb, n_hit, wo, state
+                mat, path["eta"], eta_o, tb, bb, n_hit, wo, state, u12=u12_bsdf
             )
             f = disney.bsdf_eval(
                 mat, albedo, path["eta"], eta_o, n_hit, wo, res.light
@@ -990,6 +1109,9 @@ def trace_wavefront(
             out.update(pend)
             if sorting:
                 out["idx"] = path["idx"]
+            if ld:
+                for k in ("ld_n1", "ld_n2", "ld_b1", "ld_b2"):
+                    out[k] = path[k]
             if demand_pool is not None:
                 out["tex_usage"] = path["tex_usage"]
                 out["plen"] = path["plen"]

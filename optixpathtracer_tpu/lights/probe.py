@@ -151,10 +151,19 @@ def probe_pdf(p: Probe, d: Vec3) -> Array:
 
 
 def probe_sample_texel(
-    p: Probe, state: RngState
+    p: Probe, state: RngState, u12=None
 ) -> tuple[RngState, Vec3, Vec3, Array, Array, Array]:
-    """probe_sample that also returns the chosen (row, col) texel (for tests)."""
-    state, r1, r2 = randf2(state)
+    """probe_sample that also returns the chosen (row, col) texel (for tests).
+
+    u12 (optional (u1, u2)): caller-supplied uniforms replacing the internal
+    randf2 draw — the engine's stratified/blue-noise sampling strategy
+    (RenderConfig.sampling; reference sample.h:238-289 Sample2D) feeds its
+    low-discrepancy pair through here. The state is NOT advanced then (the
+    caller drew its jitter from the same stream)."""
+    if u12 is None:
+        state, r1, r2 = randf2(state)
+    else:
+        r1, r2 = u12
     # lower_bound == searchsorted(side='left') == count of cdf entries < r.
     # A batched dense compare+sum beats binary search on TPU: searchsorted
     # lowers to a log(W) while-loop of narrow per-ray gathers (measured
@@ -188,13 +197,16 @@ def probe_sample_texel(
     return state, uv_to_dir(u, v), color, pdf, row, col
 
 
-def probe_sample(p: Probe, state: RngState) -> tuple[RngState, Vec3, Vec3, Array]:
+def probe_sample(
+    p: Probe, state: RngState, u12=None
+) -> tuple[RngState, Vec3, Vec3, Array]:
     """Draw (direction, radiance, pdf) by inverse-CDF (ProbeSample, Probe.cuh:138-169).
 
     Batched over the RNG state's shape. The row search is a searchsorted over
     the marginal; the column search indexes the per-row CDF matrix.
+    u12: optional caller-supplied uniform pair (see probe_sample_texel).
     """
-    state, d, color, pdf, _, _ = probe_sample_texel(p, state)
+    state, d, color, pdf, _, _ = probe_sample_texel(p, state, u12=u12)
     return state, d, color, pdf
 
 

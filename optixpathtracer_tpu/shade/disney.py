@@ -148,12 +148,22 @@ def bsdf_sample(
     n: Vec3,
     view: Vec3,
     state: RngState,
+    u12=None,
 ) -> tuple[RngState, BSDFSampleResult]:
-    """Importance-sample the BSDF (BSDFSample semantics, mask-combined)."""
+    """Importance-sample the BSDF (BSDFSample semantics, mask-combined).
+
+    u12 (optional (u1, u2)): caller-supplied uniforms replacing the internal
+    (r1, r2) lobe-direction draw — the engine's stratified/blue-noise
+    sampling strategy (RenderConfig.sampling) routes its low-discrepancy
+    pair into the 2D draw that steers the sampled direction (the dominant
+    variance dimension). The state advance for r1/r2 is skipped then."""
     state, u_lobe = randf(state)
     state, u_f = randf(state)
-    state, r1 = randf(state)
-    state, r2 = randf(state)
+    if u12 is None:
+        state, r1 = randf(state)
+        state, r2 = randf(state)
+    else:
+        r1, r2 = u12
     state, u_half = randf(state)
     state, u_ss = randf(state)
 
