@@ -69,6 +69,378 @@ def build_city_scene(n_boxes=12500, seed=0):
     return hs
 
 
+def build_hostile_scene(n_boxes=9800, seed=3, terrain_grid=(256, 64)):
+    """Adversarial traversal geometry (VERDICT r3 item 5): nothing here is
+    axis-aligned. A fractal terrain heightfield triangulated on an
+    anisotropic grid (256x64 => sliver triangles, like sponza's banners /
+    san_miguel's leaves) plus the procedural city rotated 30 degrees about Y
+    (every box face off-axis, so the slab cull sees rotated boxes it can
+    only bound loosely). ~150k triangles total, lost_empire scale."""
+    from optixpathtracer_tpu.core.materials import make_material
+    from optixpathtracer_tpu.core.scene import HostScene, Mesh
+
+    rng = np.random.default_rng(seed)
+    hs = HostScene()
+
+    # --- terrain: anisotropic heightfield grid ---------------------------
+    gx, gz = terrain_grid  # default 2*255*63 = 32130 thin tris (4:1 aniso)
+    xs = np.linspace(-65, 65, gx, dtype=np.float32)
+    zs = np.linspace(-65, 65, gz, dtype=np.float32)
+    xg, zg = np.meshgrid(xs, zs, indexing="ij")
+    h = np.zeros_like(xg)
+    for octave in range(4):
+        f = 0.02 * (2 ** octave)
+        px = rng.uniform(0, 100)
+        pz = rng.uniform(0, 100)
+        h += (np.sin(xg * f + px) * np.cos(zg * f * 1.7 + pz)) * (2.2 / (octave + 1))
+    verts = np.stack([xg, h, zg], -1).reshape(-1, 3).astype(np.float32)
+    ii, jj = np.meshgrid(np.arange(gx - 1), np.arange(gz - 1), indexing="ij")
+    q = (ii * gz + jj).ravel()
+    quads = np.stack([q, q + 1, q + gz, q + gz + 1], -1)
+    tris = np.concatenate(
+        [quads[:, [0, 1, 2]], quads[:, [2, 1, 3]]], 0
+    ).astype(np.int32)
+    hs.add_mesh(Mesh(vertices=verts, indices=tris,
+                     material=make_material(color=(0.45, 0.5, 0.35),
+                                            roughness=0.8)))
+
+    # --- 30-degree-rotated city sitting on the terrain --------------------
+    th = np.deg2rad(30.0)
+    rot = np.array([[np.cos(th), 0, np.sin(th)],
+                    [0, 1, 0],
+                    [-np.sin(th), 0, np.cos(th)]], np.float32)
+    centers = rng.uniform(-48, 48, size=(n_boxes, 2)).astype(np.float32)
+    heights = rng.gamma(2.0, 1.2, size=n_boxes).astype(np.float32) + 0.3
+    widths = rng.uniform(0.2, 0.9, size=(n_boxes, 2)).astype(np.float32)
+    # ground height under each box center (nearest grid sample)
+    cx = np.clip(np.searchsorted(xs, centers[:, 0]), 0, gx - 1)
+    cz = np.clip(np.searchsorted(zs, centers[:, 1]), 0, gz - 1)
+    base_y = h[cx, cz]
+
+    n_buckets = 8
+    bucket = rng.integers(0, n_buckets, n_boxes)
+    base = np.array(
+        [[0.8, 0.3, 0.2], [0.2, 0.7, 0.3], [0.25, 0.35, 0.8], [0.8, 0.75, 0.3],
+         [0.6, 0.6, 0.6], [0.8, 0.5, 0.2], [0.4, 0.2, 0.6], [0.7, 0.7, 0.9]],
+        np.float32,
+    )
+    unit_v, unit_f = _unit_box()
+    for b in range(n_buckets):
+        idx = np.nonzero(bucket == b)[0]
+        if len(idx) == 0:
+            continue
+        k = len(idx)
+        scale = np.stack([widths[idx, 0], heights[idx] * 0.5, widths[idx, 1]], -1)
+        offset = np.stack(
+            [centers[idx, 0], base_y[idx] + heights[idx] * 0.5, centers[idx, 1]],
+            -1,
+        )
+        verts = unit_v[None] * scale[:, None, :] + offset[:, None, :]
+        verts = verts.reshape(-1, 3) @ rot.T  # whole city off-axis
+        faces = unit_f[None] + (np.arange(k)[:, None, None] * len(unit_v))
+        mat = make_material(color=tuple(base[b]),
+                            roughness=float(rng.uniform(0.3, 0.9)))
+        hs.add_mesh(Mesh(vertices=verts.astype(np.float32),
+                         indices=faces.reshape(-1, 3).astype(np.int32),
+                         material=mat))
+    return hs
+
+
+def measure_utilization(cs, cam):
+    """Driver-auditable selectivity + VPU-utilization numbers (VERDICT r3
+    item 4): cull selectivity (member evals per 128-ray block) and
+    standalone sweep throughput for the two ray regimes that bound the
+    frame (camera tiles / engine-sorted bounce rays), with the derived
+    pair-eval and vreg-op rates against the measured VPU issue peak.
+
+    `vpu_peak_frac` semantics: issue cost of the SCHEDULED pair evals (the
+    cull's static member bits) over wall-clock x peak. ~1.0 means the sweep
+    runs at the VPU issue floor for its schedule; >1 means the near-to-far
+    early exit is skipping scheduled work; <1 means per-dispatch overheads.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from optixpathtracer_tpu.core.math import Vec3
+    from optixpathtracer_tpu.engine.wavefront import _coherence_key
+    from optixpathtracer_tpu.ops.traverse_cluster import (
+        block_cull,
+        closest_hit_cluster,
+    )
+
+    cl = cs.clusters
+    c_size = cl.cluster_size
+    # static per-pair VPU op estimate: 41 Moller-Trumbore core ops
+    # (_mt_block) + ~12 lean-epilogue ops, each on (B, C) vregs
+    OPS_PER_PAIR = 53.0
+    VREG_LANES = 8 * 128
+    VPU_PEAK = 0.94e9  # measured ~1 (8,128) vreg-op/cycle at the v5e clock
+
+    n = 131072
+    rng = np.random.default_rng(7)
+    # camera rays in the renderer's 16x8 tile order over a 512x256 grid
+    uu, vv, ww = cam.uvw_frame()
+    w_t, h_t = 512, 256
+    xs, ys = np.meshgrid(np.arange(w_t), np.arange(h_t))
+    order = np.lexsort([
+        xs.ravel() % 16 + 16 * (ys.ravel() % 8),
+        xs.ravel() // 16 + (ys.ravel() // 8) * (w_t // 16),
+    ])
+    px = (xs.ravel()[order] + 0.5) / w_t * 2 - 1
+    py = (ys.ravel()[order] + 0.5) / h_t * 2 - 1
+    dcam = px[:n, None] * uu[None] + py[:n, None] * vv[None] + ww[None]
+    dcam = (dcam / np.linalg.norm(dcam, axis=1, keepdims=True)).astype(np.float32)
+    ocam = np.broadcast_to(np.asarray(cam.eye, np.float32), dcam.shape).copy()
+
+    # bounce-like interior rays, engine-sorted (the wavefront's own key)
+    ob = rng.uniform(-50, 50, (n, 3)).astype(np.float32)
+    ob[:, 1] = rng.uniform(0.2, 8, n).astype(np.float32)
+    db = rng.normal(0, 1, (n, 3)).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    key = jax.jit(lambda ov, dv: _coherence_key(
+        Vec3(ov[:, 0], ov[:, 1], ov[:, 2]), Vec3(dv[:, 0], dv[:, 1], dv[:, 2]),
+        jnp.zeros((ov.shape[0],), bool), cl.scene_aabb))
+    sorder = np.argsort(np.asarray(key(jnp.asarray(ob), jnp.asarray(db))),
+                        kind="stable")
+    ob, db = ob[sorder], db[sorder]
+
+    @jax.jit
+    def cull_bits(ov, dv):
+        cull = block_cull(cl, Vec3(ov[:, 0], ov[:, 1], ov[:, 2]),
+                          Vec3(dv[:, 0], dv[:, 1], dv[:, 2]), 1e-3, 1e16, 128)
+        return cull.bits_lo, cull.bits_hi
+
+    @jax.jit
+    def sweep(ov, dv):
+        rec = closest_hit_cluster(cl, Vec3(ov[:, 0], ov[:, 1], ov[:, 2]),
+                                  Vec3(dv[:, 0], dv[:, 1], dv[:, 2]), 1e-3, 1e16)
+        return rec.t
+
+    out = {}
+    for name, o, d in (("camera", ocam, dcam), ("bounce_sorted", ob, db)):
+        ov, dv = jnp.asarray(o), jnp.asarray(d)
+        lo, hi = (np.asarray(a) for a in cull_bits(ov, dv))
+        u = (lo | (lo >> 8) | (lo >> 16) | (lo >> 24)
+             | hi | (hi >> 8) | (hi >> 16) | (hi >> 24)) & 0xFF
+        evals = sum(((u >> k) & 1).astype(np.int64).sum(axis=1)
+                    for k in range(8))
+        evals_per_block = float(evals.mean())
+        float(jnp.sum(sweep(ov, dv)))  # compile + warm (hard sync)
+        t0 = time.perf_counter()
+        float(jnp.sum(sweep(ov, dv)))
+        dt = time.perf_counter() - t0
+        pair_evals = evals_per_block * (n / 128) * 128 * c_size
+        vreg_ops = pair_evals * OPS_PER_PAIR / VREG_LANES
+        out[name] = {
+            "member_evals_per_block": round(evals_per_block, 1),
+            "sweep_s": round(dt, 4),
+            "mrays_per_s_sweep": round(n / dt / 1e6, 3),
+            "pair_evals": int(pair_evals),
+            "pair_evals_per_s": round(pair_evals / dt / 1e9, 3),  # G/s
+            "vreg_ops_est": int(vreg_ops),
+            "vpu_peak_frac": round(vreg_ops / dt / VPU_PEAK, 3),
+        }
+    return out
+
+
+def quality_track(cs, probe, on_cpu, max_launches=128, ref_path=None):
+    """Time-to-quality rows (VERDICT r3 item 1): seconds of render time to
+    reach sqrt-space RMSE <= 0.03 against the committed 4096-spp stratified
+    self-reference (scenes/ref_city_600x400.npz, tools/make_reference.py),
+    on the bench scene at 600x400 (half the headline frame per axis — the
+    reference artifact stays regenerable in ~35 min of TPU time):
+
+      uniform   — random-sampling progressive PT, raw accumulation (the
+                  reference renderer's quality trajectory);
+      pipeline  — stratified sampling + variance-guided adaptive top-K
+                  refinement + AOV-guided A-Trous denoise (every quality
+                  subsystem composed; denoise cost counts toward the time);
+      foveated  — progressive 3-zone foveation under a static gaze,
+                  RMSE over the FOVEA disc (full quality where the user
+                  looks — the foveated contract).
+
+    All RMSE checks run ON DEVICE (host transfers through the TPU tunnel
+    run at ~0.3 MB/s; only scalars cross per checkpoint) and double as the
+    hard sync for honest wall-clock. Returns a list of JSON records.
+    """
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from optixpathtracer_tpu.core.camera import Camera
+    from optixpathtracer_tpu.engine.adaptive import AdaptiveRenderer
+    from optixpathtracer_tpu.engine.foveated import (
+        FoveatedRenderer,
+        FoveationConfig,
+    )
+    from optixpathtracer_tpu.engine.renderer import Renderer
+    from optixpathtracer_tpu.engine.wavefront import RenderConfig
+    from optixpathtracer_tpu.ops.denoise import atrous_denoise
+
+    if ref_path is None:
+        ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "scenes", "ref_city_600x400.npz")
+    if not os.path.exists(ref_path):
+        return [{"metric": "time-to-RMSE track", "value": 0.0,
+                 "unit": "s", "vs_baseline": 0.0,
+                 "error": "missing scenes/ref_city_600x400.npz "
+                          "(run tools/make_reference.py)"}]
+    ref_d = np.load(ref_path)
+    w, h = int(ref_d["width"]), int(ref_d["height"])
+    ref = ref_d["image"].astype(np.float32)  # (H*W, 3) canonical, bottom-first
+    ref_sqrt = np.sqrt(np.clip(ref, 0, None))
+    target = 0.03
+
+    cam = Camera(eye=(55.0, 18.0, 55.0), lookat=(0.0, 2.0, 0.0), up=(0, 1, 0),
+                 fov_y=45, aspect_ratio=w / h)
+    cfgq = RenderConfig(
+        width=w, height=h, samples_per_launch=2, max_depth=4,
+        traversal="lockstep" if on_cpu else "cluster", dispatch_tiles=1,
+        sort_rays=not on_cpu, nee_final_bounce=False, batch_spp=True,
+    )
+    records = []
+
+    def row(name, label, run):
+        """run() yields (seconds_so_far, rmse, spp) checkpoints."""
+        secs = spp = None
+        rmse = float("inf")
+        for t, v, s in run:
+            rmse = v
+            if v <= target:
+                secs, spp = t, s
+                break
+        rec = {
+            "metric": f"seconds to RMSE<=0.03 @{w}x{h} ({label})",
+            "value": round(secs, 2) if secs is not None else 0.0,
+            "unit": "s",
+            "reached": secs is not None,
+            "final_rmse": round(rmse, 5),
+            "spp": spp,
+        }
+        records.append((name, rec))
+        return rec
+
+    # ---- row 1: uniform random PT ---------------------------------------
+    r = Renderer(cs, probe, cfgq, cam)
+    ref_tile = jnp.asarray(ref_sqrt[r._perm])
+
+    @jax.jit
+    def rmse_uniform(accum):
+        img = jnp.stack([accum.x, accum.y, accum.z], -1)
+        return jnp.sqrt(jnp.mean(
+            (jnp.sqrt(jnp.clip(img, 0, None)) - ref_tile) ** 2))
+
+    def run_uniform():
+        r.render(download=False)  # compile
+        float(rmse_uniform(r.accum))
+        r.resize(w, h)  # reset accumulation
+        t = 0.0
+        for i in range(max_launches):
+            t0 = time.perf_counter()
+            r.render(download=False)
+            v = float(rmse_uniform(r.accum))  # device check == hard sync
+            t += time.perf_counter() - t0
+            yield t, v, (i + 1) * cfgq.samples_per_launch
+
+    u_rec = row("uniform", "uniform PT, random sampling", run_uniform())
+
+    # ---- row 2: stratified + adaptive + denoise --------------------------
+    acfg = dataclasses.replace(cfgq, sampling="stratified")
+    ar = AdaptiveRenderer(cs, probe, acfg, cam, warmup_spp=2, refine_spp=4,
+                          refine_fraction=0.25)
+    yx_np = np.asarray(ar._py) * w + np.asarray(ar._px)
+    yx_np = np.where(np.asarray(ar._valid), yx_np, w * h)  # dummy slot
+    yx = jnp.asarray(yx_np)
+    ref2d = jnp.asarray(ref_sqrt.reshape(h, w, 3))
+
+    @jax.jit
+    def rmse_pipeline(col, nrm, alb, count):
+        nf = jnp.maximum(count.astype(jnp.float32), 1.0)[:, None]
+
+        def img(v):
+            rows = jnp.stack([v.x, v.y, v.z], -1) / nf
+            buf = jnp.zeros((w * h + 1, 3), jnp.float32).at[yx].set(
+                rows, mode="promise_in_bounds")
+            return buf[: w * h].reshape(h, w, 3)
+
+        dn = atrous_denoise(img(col), img(nrm), img(alb))
+        return jnp.sqrt(jnp.mean((jnp.sqrt(jnp.clip(dn, 0, None)) - ref2d) ** 2))
+
+    def run_pipeline():
+        # compile pass on a throwaway state (warmup round + refine round
+        # have different launch shapes — warm both), then time fresh
+        ar.render()
+        float(rmse_pipeline(ar.col_sum, ar.nrm_sum, ar.alb_sum, ar.count))
+        ar.render()
+        float(rmse_pipeline(ar.col_sum, ar.nrm_sum, ar.alb_sum, ar.count))
+        ar2 = AdaptiveRenderer(cs, probe, acfg, cam, warmup_spp=2,
+                               refine_spp=4, refine_fraction=0.25)
+        t = 0.0
+        for _ in range(48):
+            t0 = time.perf_counter()
+            ar2.render()
+            v = float(rmse_pipeline(ar2.col_sum, ar2.nrm_sum, ar2.alb_sum,
+                                    ar2.count))
+            t += time.perf_counter() - t0
+            mean_spp = float(np.asarray(ar2.count, np.float32).sum()) / (w * h)
+            yield t, v, round(mean_spp, 2)
+
+    p_rec = row("pipeline", "stratified+adaptive+denoise", run_pipeline())
+
+    # ---- row 3: progressive foveation, fovea-disc RMSE -------------------
+    fcfg = FoveationConfig(inner_radius=80, outer_radius=200,
+                           progressive=True)
+    fr = FoveatedRenderer(cs, probe,
+                          dataclasses.replace(acfg, samples_per_launch=1),
+                          cam, fcfg)
+    gx, gy = w // 2, h // 2  # frame center: flip-convention invariant
+    fr.set_gaze(gx, gy)
+    ii = np.arange(w * h)
+    fmask_np = ((ii % w - gx) ** 2 + (ii // w - gy) ** 2) <= 80 ** 2
+    fmask = jnp.asarray(fmask_np)
+    ref_flat = jnp.asarray(ref_sqrt)
+
+    @jax.jit
+    def rmse_fovea(accum):
+        img = jnp.stack([accum.x, accum.y, accum.z], -1)
+        se = jnp.sum(jnp.where(fmask[:, None],
+                               (jnp.sqrt(jnp.clip(img, 0, None)) - ref_flat) ** 2,
+                               0.0))
+        return jnp.sqrt(se / (fmask_np.sum() * 3))
+
+    def run_fovea():
+        # compile pass, then time a fresh progressive accumulation
+        fr.render()
+        float(rmse_fovea(fr.accum))
+        fr2 = FoveatedRenderer(
+            cs, probe, dataclasses.replace(acfg, samples_per_launch=1),
+            cam, fcfg)
+        fr2.set_gaze(gx, gy)
+        t = 0.0
+        for i in range(40):
+            t0 = time.perf_counter()
+            fr2.render()
+            v = float(rmse_fovea(fr2.accum))
+            t += time.perf_counter() - t0
+            yield t, v, (i + 1) * fcfg.fovea_spp
+
+    f_rec = row("foveated", "progressive foveation, fovea disc", run_fovea())
+    del f_rec  # reported via records; the speedup line compares rows 1-2
+
+    out = [rec for _, rec in records]
+    if u_rec["reached"] and p_rec["reached"] and p_rec["value"] > 0:
+        speed = u_rec["value"] / p_rec["value"]
+        out.append({
+            "metric": "equal-quality speedup: stratified+adaptive+denoise "
+                      "vs uniform PT (RMSE<=0.03 @600x400)",
+            "value": round(speed, 2),
+            "unit": "x",
+            "vs_baseline": round(speed / 3.0, 3),  # VERDICT r3 target: >=3x
+        })
+    return out
+
+
 def _unit_box():
     v = np.array(
         [[-1, -1, -1], [1, -1, -1], [1, 1, -1], [-1, 1, -1],
@@ -108,15 +480,19 @@ def main():
     small = "--small" in sys.argv
     # --scene loft: the bundled CLOSED textured interior (round-1 verdict:
     # the open-sky city flatters traversal and under-tests emissives /
-    # textures at bench scale). Secondary number; the city stays headline.
-    loft = False
+    # textures at bench scale). --scene hostile: terrain + 30-degree-rotated
+    # city — nothing axis-aligned, sliver triangles (VERDICT r3 item 5's
+    # sponza/san_miguel stand-in). Secondary numbers; the city stays headline.
+    scene_name = "city"
     if "--scene" in sys.argv:
         i = sys.argv.index("--scene")
-        if i + 1 >= len(sys.argv):
-            print("usage: bench.py [--small] [--cpu] [--scene city|loft]",
-                  file=sys.stderr)
+        if i + 1 >= len(sys.argv) or sys.argv[i + 1] not in (
+                "city", "loft", "hostile"):
+            print("usage: bench.py [--small] [--cpu] "
+                  "[--scene city|loft|hostile]", file=sys.stderr)
             sys.exit(2)
-        loft = sys.argv[i + 1] == "loft"
+        scene_name = sys.argv[i + 1]
+    loft = scene_name == "loft"
     width, height = (320, 240) if small else (1200, 800)
     spp = 1 if small else 2
     n_boxes = 400 if small else 12500
@@ -127,6 +503,9 @@ def main():
         hs = load_obj(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                    "scenes", "loft.obj"))
         scene_label = "loft interior"
+    elif scene_name == "hostile":
+        hs = build_hostile_scene(n_boxes=980 if small else 9800)
+        scene_label = "150k-tri hostile terrain+rotated city"
     else:
         hs = build_city_scene(n_boxes=n_boxes)
         scene_label = "150k-tri city"
@@ -222,6 +601,10 @@ def main():
             (np.asarray(fast.tri) != np.asarray(exact.tri)).sum()
         )
 
+    util = None
+    if not on_cpu and not small:
+        util = measure_utilization(cs, cam)
+
     r = Renderer(cs, probe, cfg, cam)
 
     # warmup / compile
@@ -289,7 +672,14 @@ def main():
         "unit": "Mrays/s",
         "vs_baseline": 0.0 if gated_out else round(mrays / 100.0, 4),
     }
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
+
+    # ---- quality-normalized track (time-to-RMSE; VERDICT r3 item 1) -----
+    # city headline runs only: the committed reference artifact is for the
+    # city scene, and the CPU fallback is too slow for 600x400 renders
+    if scene_name == "city" and not small and not on_cpu:
+        for rec in quality_track(cs, probe, on_cpu):
+            print(json.dumps(rec), flush=True)
     print(
         json.dumps(
             {
@@ -306,6 +696,7 @@ def main():
                     "triangles": cs.num_triangles,
                     "devices": [str(d) for d in jax.devices()][:4],
                     "scaling": scaling,
+                    "utilization": util,
                 }
             }
         ),

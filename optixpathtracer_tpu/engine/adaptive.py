@@ -84,6 +84,8 @@ def _adaptive_launch(
     lum_sum: Array,
     lum2_sum: Array,
     count: Array,      # (P,) uint32 samples so far
+    nrm_sum: Vec3,     # (P,) first-bounce AOV sums (denoiser guides)
+    alb_sum: Vec3,
     spp: int,
     area_light=None,
 ):
@@ -134,7 +136,19 @@ def _adaptive_launch(
     lum_sum = lum_sum.at[slot].add(fold(lum))
     lum2_sum = lum2_sum.at[slot].add(fold(lum * lum))
     count = count.at[slot].add(jnp.uint32(spp) * valid.astype(jnp.uint32))
-    return col_sum, lum_sum, lum2_sum, count, out.rays_traced
+    # first-bounce AOVs accumulate alongside color — the denoiser guides
+    # (out.normal/albedo are per-lane at spp=1 in fused-lane mode)
+    nrm_sum = Vec3(
+        nrm_sum.x.at[slot].add(fold(out.normal.x * vf)),
+        nrm_sum.y.at[slot].add(fold(out.normal.y * vf)),
+        nrm_sum.z.at[slot].add(fold(out.normal.z * vf)),
+    )
+    alb_sum = Vec3(
+        alb_sum.x.at[slot].add(fold(out.albedo.x * vf)),
+        alb_sum.y.at[slot].add(fold(out.albedo.y * vf)),
+        alb_sum.z.at[slot].add(fold(out.albedo.z * vf)),
+    )
+    return col_sum, lum_sum, lum2_sum, count, nrm_sum, alb_sum, out.rays_traced
 
 
 @partial(jax.jit, static_argnames=("n_tiles",))
@@ -196,6 +210,8 @@ class AdaptiveRenderer:
         self.lum_sum = jnp.zeros((p,), jnp.float32)
         self.lum2_sum = jnp.zeros((p,), jnp.float32)
         self.count = jnp.zeros((p,), jnp.uint32)
+        self.nrm_sum = Vec3.zeros((p,))
+        self.alb_sum = Vec3.zeros((p,))
         self.rounds = 0
         self.rays_traced = 0.0
 
@@ -213,10 +229,11 @@ class AdaptiveRenderer:
             sel = sel.astype(jnp.int32)
             spp = self.refine_spp
         (self.col_sum, self.lum_sum, self.lum2_sum, self.count,
-         rays) = _adaptive_launch(
+         self.nrm_sum, self.alb_sum, rays) = _adaptive_launch(
             self.cs, self.probe, self.config, cam, sel,
             self._px, self._py, self._valid,
             self.col_sum, self.lum_sum, self.lum2_sum, self.count,
+            self.nrm_sum, self.alb_sum,
             spp, self.area_light,
         )
         self.rays_traced += float(rays)
@@ -228,18 +245,46 @@ class AdaptiveRenderer:
         return self.accum_image()
 
     # -- outputs -----------------------------------------------------------
-    def accum_image(self) -> np.ndarray:
-        """(H, W, 3) running mean, top row first (image convention)."""
+    def _mean_image(self, v: Vec3) -> np.ndarray:
+        """(H, W, 3) per-pixel sum/count, top row first (image convention)."""
         w, h = self.config.width, self.config.height
         n = np.maximum(np.asarray(self.count, np.float32), 1.0)
         mean = np.stack(
-            [np.asarray(self.col_sum.x), np.asarray(self.col_sum.y),
-             np.asarray(self.col_sum.z)], axis=-1,
+            [np.asarray(v.x), np.asarray(v.y), np.asarray(v.z)], axis=-1,
         ) / n[:, None]
         img = np.zeros((h * w, 3), np.float32)
         yx = (np.asarray(self._py) * w + np.asarray(self._px))[self._valid_np]
         img[yx] = mean[self._valid_np]
         return img.reshape(h, w, 3)[::-1]
+
+    def accum_image(self) -> np.ndarray:
+        """(H, W, 3) running mean, top row first (image convention)."""
+        return self._mean_image(self.col_sum)
+
+    def aovs(self) -> dict[str, np.ndarray]:
+        """Running-mean normal/albedo AOVs (denoiser guides)."""
+        return {
+            "normal": self._mean_image(self.nrm_sum),
+            "albedo": self._mean_image(self.alb_sum),
+        }
+
+    def denoised_image(self, **kwargs) -> np.ndarray:
+        """AOV-guided À-Trous denoise of the adaptive running mean — the
+        composed variance pipeline's output (stratified sampling + adaptive
+        refinement + denoise)."""
+        import jax.numpy as jnp
+
+        from ..ops.denoise import atrous_denoise
+
+        aov = self.aovs()
+        return np.asarray(
+            atrous_denoise(
+                jnp.asarray(self.accum_image()),
+                jnp.asarray(aov["normal"]),
+                jnp.asarray(aov["albedo"]),
+                **kwargs,
+            )
+        )
 
     def sample_map(self) -> np.ndarray:
         """(H, W) per-pixel sample counts — the adaptive effort map."""

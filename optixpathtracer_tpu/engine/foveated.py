@@ -65,10 +65,16 @@ class FoveationConfig:
     periphery_spp: int = 1
     ring_spp: int = 2
     fovea_spp: int = 8
+    progressive: bool = False  # accumulate EVERY zone progressively instead
+    #   of redrawing ring/fovea each frame (the reference redraws them,
+    #   sv4 SimplePathtracer.cpp:159-212, because the gaze moves; under a
+    #   static gaze progressive fovea accumulation converges the fovea to
+    #   full quality — the time-to-fovea-RMSE bench row uses this)
 
     def zones(self, width: int, height: int) -> tuple[FoveationZone, ...]:
         ro = self.outer_radius
         ri = self.inner_radius
+        redraw = not self.progressive
         ring_half = ro + 2
         fovea_half = ri + 1
         return (
@@ -80,12 +86,12 @@ class FoveationConfig:
             ),
             FoveationZone(
                 "ring", self.ring_factor, self.ring_spp,
-                float(ri), float(ro + 2), True,
+                float(ri), float(ro + 2), redraw,
                 ring_half, ring_half, centered=True,
             ),
             FoveationZone(
                 "fovea", 1, self.fovea_spp,
-                0.0, float(ri + 1), True,
+                0.0, float(ri + 1), redraw,
                 2 * fovea_half, 2 * fovea_half, centered=True,
             ),
         )

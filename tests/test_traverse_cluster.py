@@ -205,3 +205,39 @@ def test_sub_block_gating_matches_whole_block():
     o1, _ = any_hit_cluster(cs, ov, dv, 1e-2, 1e16, interpret=True, groups=1)
     o8, _ = any_hit_cluster(cs, ov, dv, 1e-2, 1e16, interpret=True, groups=8)
     np.testing.assert_array_equal(np.asarray(o1), np.asarray(o8))
+
+
+def test_cluster_exact_on_hostile_geometry(rng):
+    """Slab-cull exactness on adversarial geometry (VERDICT r3 item 5):
+    nothing axis-aligned — a rotated city on a sliver-triangle heightfield.
+    The cull must stay conservative for boxes it can only bound loosely."""
+    from bench import build_hostile_scene
+    from optixpathtracer_tpu.builder import compile_scene
+
+    hs = build_hostile_scene(n_boxes=60, terrain_grid=(32, 16))
+    cs = compile_scene(hs, build_wide_bvh=False, cluster_size=64).clusters
+
+    n = 512
+    half = n // 2
+    # interior bounce-like rays + grazing rays nearly parallel to the terrain
+    o1 = rng.uniform(-40, 40, (half, 3)).astype(np.float32)
+    o1[:, 1] = rng.uniform(0.5, 6.0, half)
+    d1 = rng.normal(0, 1, (half, 3)).astype(np.float32)
+    o2 = rng.uniform(-40, 40, (half, 3)).astype(np.float32)
+    o2[:, 1] = rng.uniform(-1.0, 3.0, half)
+    d2 = rng.normal(0, 1, (half, 3)).astype(np.float32)
+    d2[:, 1] *= 0.05  # grazing: the slab test's worst case on slivers
+    o = np.concatenate([o1, o2])
+    d = np.concatenate([d1, d2])
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    ov = Vec3(*(jnp.asarray(o[:, i]) for i in range(3)))
+    dv = Vec3(*(jnp.asarray(d[:, i]) for i in range(3)))
+
+    fast = closest_hit_cluster(cs, ov, dv, 1e-3, 1e16)
+    ref = reference_closest(cs, ov, dv, 1e-3, 1e16)
+    assert (np.asarray(fast.tri) == np.asarray(ref.tri)).all()
+    hits = np.asarray(ref.tri) >= 0
+    assert hits.sum() > n // 4  # the ray set actually exercises geometry
+    np.testing.assert_allclose(
+        np.asarray(fast.t)[hits], np.asarray(ref.t)[hits], rtol=1e-6, atol=1e-5
+    )
