@@ -9,12 +9,20 @@ curves at the end of every path — the full spectral loop the reference
 sketched.
 
 Engine structure mirrors engine/wavefront.py (probe NEE with MIS + Disney
-continuation) with a spectral twist: the Disney BSDF is evaluated twice
-(black and white albedo) to split the achromatic specular part from the
-albedo-modulated diffuse part, and the albedo enters per-wavelength:
-  f(lambda) = f_spec + (f_white - f_spec) * S_albedo(lambda).
-Exact for untinted (non-metallic-tint) materials, which is the spectral
-config's material set.
+continuation) with a spectral twist: the Disney eval is jointly AFFINE in
+(albedo, cspec0) — the only non-affine albedo path is the ctint
+normalization inside cspec0 (shade/disney.py bsdf_eval) — so THREE
+overridden evals reconstruct the exact per-wavelength BSDF:
+  f(lambda) = S[f00](lambda)                                  # chromatic base
+            + (f10 - f00) * S_albedo(lambda)                  # diffuse slope
+            + (f01 - f00) * cspec0(lambda)                    # specular slope
+with f00 = f(albedo=0, cspec0=0), f10 = f(albedo=1, cspec0=0),
+f01 = f(albedo=0, cspec0=1); cspec0(lambda) rebuilds the Disney specular
+color per wavelength from the spectralized RGB tint, and the chromatic base
+(the subsurface sqrt(color) term) is spectralized via the same Smits basis.
+Exact (to the basis metamerism every RGB->spectral uplift carries) for the
+FULL material set — metallic, specular-tinted, transmissive, subsurface
+(tests/test_spectral_engine.py pins tinted-metal spectral == RGB render).
 """
 from __future__ import annotations
 
@@ -92,6 +100,35 @@ def trace_spectral(
             p_hit = path["o"] + path["d"] * rec.t
             s_alb = rgb_to_spectrum(albedo, lam)  # (N, 4)
 
+            # per-wavelength Disney specular color: spectralize the RGB tint
+            # (the one non-affine albedo term) and rebuild cspec0(lambda)
+            cd_lum = 0.3 * albedo.x + 0.6 * albedo.y + 0.1 * albedo.z
+            ctint = where(
+                cd_lum > 0.0, albedo * (1.0 / jnp.maximum(cd_lum, 1e-8)),
+                Vec3.ones((n,)),
+            )
+            s_tint = rgb_to_spectrum(ctint, lam)
+            base_spec = (mat.specular * 0.08 * (1.0 - mat.metallic))[:, None]
+            s_cspec = (
+                (1.0 + (s_tint - 1.0) * mat.specular_tint[:, None]) * base_spec
+                + mat.metallic[:, None] * s_alb
+            )
+            zero3 = Vec3.zeros((n,))
+            one3 = Vec3.ones((n,))
+
+            def eval_spectral(wi_dir):
+                """Exact per-wavelength BSDF via the joint-affine split."""
+                f00 = disney.bsdf_eval(mat, zero3, path["eta"], eta_o, n_hit,
+                                       wo, wi_dir, cspec0_override=zero3)
+                f10 = disney.bsdf_eval(mat, one3, path["eta"], eta_o, n_hit,
+                                       wo, wi_dir, cspec0_override=zero3)
+                f01 = disney.bsdf_eval(mat, zero3, path["eta"], eta_o, n_hit,
+                                       wo, wi_dir, cspec0_override=one3)
+                # chromatic base: the subsurface sqrt(color) backside term
+                s_f00 = rgb_to_spectrum(f00, lam)
+                return (s_f00 + (f10.x - f00.x)[:, None] * s_alb
+                        + (f01.x - f00.x)[:, None] * s_cspec)
+
             eta_o = jnp.where(path["eta"] == 1.0, mat.index_of_refraction(), 1.0)
             wo = -path["d"]
 
@@ -100,9 +137,7 @@ def trace_spectral(
             occ_tmax = jnp.where(hit, cfg.t_max, 0.0)
             occluded = _any_hit(cs, cfg, p_hit, wi, cfg.shadow_t_min, occ_tmax)
             b_pdf = disney.bsdf_pdf(mat, path["eta"], eta_o, n_hit, wo, wi)
-            f_spec = disney.bsdf_eval(mat, Vec3.zeros((n,)), path["eta"], eta_o, n_hit, wo, wi)
-            f_white = disney.bsdf_eval(mat, Vec3.ones((n,)), path["eta"], eta_o, n_hit, wo, wi)
-            f_l = f_spec.x[:, None] + (f_white.x - f_spec.x)[:, None] * s_alb
+            f_l = eval_spectral(wi)
             weight = 0.5 * sky_pdf / jnp.maximum(0.5 * b_pdf + 0.5 * sky_pdf, 1e-12)
             s_sky = rgb_to_spectrum(sky_rgb, lam)
             valid = hit & ~occluded & (b_pdf > 0) & (sky_pdf > 0) & (weight > 0)
@@ -121,9 +156,7 @@ def trace_spectral(
             # --- Disney continuation ---
             tb, bb = basis_from_vector(n_hit)
             state, res = disney.bsdf_sample(mat, path["eta"], eta_o, tb, bb, n_hit, wo, state)
-            g_spec = disney.bsdf_eval(mat, Vec3.zeros((n,)), path["eta"], eta_o, n_hit, wo, res.light)
-            g_white = disney.bsdf_eval(mat, Vec3.ones((n,)), path["eta"], eta_o, n_hit, wo, res.light)
-            g_l = g_spec.x[:, None] + (g_white.x - g_spec.x)[:, None] * s_alb
+            g_l = eval_spectral(res.light)
             cos_t = jnp.abs(dot(n_hit, res.light))
             cont = hit & (res.pdf > 0.0)
             tp = jnp.where(

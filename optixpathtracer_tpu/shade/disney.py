@@ -216,8 +216,15 @@ def bsdf_eval(
     n: Vec3,
     v: Vec3,
     l: Vec3,
+    cspec0_override: Vec3 | None = None,
 ) -> Vec3:
-    """Evaluate the full principled BSDF (BSDFEval semantics)."""
+    """Evaluate the full principled BSDF (BSDFEval semantics).
+
+    cspec0_override: replace the derived specular color entirely. The eval
+    is jointly AFFINE in (albedo, cspec0) — albedo otherwise only feeds
+    cspec0 through the non-affine ctint normalization — so three overridden
+    evals reconstruct the exact per-wavelength BSDF for the spectral engine
+    (engine/spectral.py) even for specular-tinted materials."""
     n_dot_l = dot(n, l)
     n_dot_v = dot(n, v)
     h = safe_normalize(l + v)
@@ -229,6 +236,8 @@ def bsdf_eval(
     ctint = where(cd_lum > 0.0, cd_lin / jnp.maximum(cd_lum, 1e-8), Vec3.ones(jnp.shape(cd_lum)))
     one = Vec3.ones(jnp.shape(cd_lum))
     cspec0 = lerp(lerp(one, ctint, mat.specular_tint) * (mat.specular * 0.08), cd_lin, mat.metallic)
+    if cspec0_override is not None:
+        cspec0 = cspec0_override
 
     a = jnp.maximum(0.001, mat.roughness)
 

@@ -146,3 +146,68 @@ def test_gtr2_normalized():
         d = np.asarray(disney.gtr2(jnp.asarray(np.cos(th), jnp.float32), jnp.float32(a)))
         integral = np.sum(d * np.cos(th) * np.sin(th)) * (np.pi / 2 / nth) * 2 * np.pi
         np.testing.assert_allclose(integral, 1.0, rtol=2e-2)
+
+
+def test_bsdf_eval_joint_affine_in_albedo_and_cspec0():
+    """The eval is jointly affine in (albedo, cspec0) — the contract the
+    spectral engine's exact per-wavelength reconstruction rests on
+    (engine/spectral.py): three overridden evals + the per-lambda cspec0
+    rebuild must reproduce the full RGB eval for EVERY material class,
+    including specular-tinted ones (ctint is the one non-affine path and
+    lives entirely inside cspec0)."""
+    import numpy as np
+
+    from optixpathtracer_tpu.core.materials import build_table, make_material
+
+    rng = np.random.default_rng(5)
+    n = 256
+
+    def vec(a):
+        return Vec3(jnp.asarray(a[:, 0]), jnp.asarray(a[:, 1]), jnp.asarray(a[:, 2]))
+
+    nrm = np.zeros((n, 3), np.float32)
+    nrm[:, 2] = 1
+    v = rng.normal(0, 1, (n, 3)).astype(np.float32)
+    v[:, 2] = np.abs(v[:, 2]) + 0.1
+    l = rng.normal(0, 1, (n, 3)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    l /= np.linalg.norm(l, axis=1, keepdims=True)
+    nv, vv, lv = vec(nrm), vec(v), vec(l)
+    eta_i = jnp.ones(n)
+    alb = np.array([0.7, 0.4, 0.15], np.float32)
+    cases = [
+        dict(),
+        dict(metallic=1.0),
+        dict(metallic=0.5, roughness=0.3),
+        dict(transmission=1.0, eta=1.5),
+        dict(subsurface=0.6),
+        dict(clearcoat=1.0),
+        dict(specular_tint=1.0, metallic=0.4, roughness=0.3),
+        dict(specular_tint=0.7, transmission=0.8, eta=1.5),
+    ]
+    for kw in cases:
+        mt = build_table([make_material(color=(0.6, 0.3, 0.2), **kw)]).take(
+            jnp.zeros(n, jnp.int32))
+        eta_o = jnp.where(eta_i == 1.0, mt.index_of_refraction(), 1.0)
+        av = Vec3(jnp.full(n, alb[0]), jnp.full(n, alb[1]), jnp.full(n, alb[2]))
+        truth = disney.bsdf_eval(mt, av, eta_i, eta_o, nv, vv, lv)
+        zero, one = Vec3.zeros((n,)), Vec3.ones((n,))
+        f00 = disney.bsdf_eval(mt, zero, eta_i, eta_o, nv, vv, lv,
+                               cspec0_override=zero)
+        f10 = disney.bsdf_eval(mt, one, eta_i, eta_o, nv, vv, lv,
+                               cspec0_override=zero)
+        f01 = disney.bsdf_eval(mt, zero, eta_i, eta_o, nv, vv, lv,
+                               cspec0_override=one)
+        lum = 0.3 * alb[0] + 0.6 * alb[1] + 0.1 * alb[2]
+        tint = kw.get("specular_tint", 0.0)
+        m = kw.get("metallic", 0.0)
+        spec = 0.5  # make_material default
+        cspec = (1 + tint * (alb / lum - 1)) * 0.08 * spec * (1 - m) + m * alb
+        truth_ch = [truth.x, truth.y, truth.z]
+        f00_ch = [f00.x, f00.y, f00.z]  # chromatic base (subsurface color)
+        for ch in range(3):
+            pred = (f00_ch[ch] + (f10.x - f00.x) * alb[ch]
+                    + (f01.x - f00.x) * cspec[ch])
+            err = np.max(np.abs(np.asarray(pred - truth_ch[ch]))
+                         / (np.abs(np.asarray(truth_ch[ch])) + 1e-6))
+            assert err < 1e-5, (kw, ch, err)
