@@ -240,6 +240,29 @@ def measure_utilization(cs, cam):
             "vreg_ops_est": int(vreg_ops),
             "vpu_peak_frac": round(vreg_ops / dt / VPU_PEAK, 3),
         }
+
+    # 8-chip projection (VERDICT r3 item 8): a strip-DP shard of the
+    # headline frame hands each chip ~1/8 of every sweep's lanes, so the
+    # per-chip slowdown is the sweep's small-lane-count efficiency loss
+    # (per-dispatch floors stop amortizing). Measure the dominant
+    # (sorted-bounce) sweep at the full headline lane count and at the
+    # 1/8-shard count; their rate ratio bounds strip-DP scaling.
+    n_big = 8 * n
+    ob8 = np.tile(ob, (8, 1))
+    db8 = np.tile(db, (8, 1))
+    ov8, dv8 = jnp.asarray(ob8), jnp.asarray(db8)
+    float(jnp.sum(sweep(ov8, dv8)))  # compile + warm
+    t0 = time.perf_counter()
+    float(jnp.sum(sweep(ov8, dv8)))
+    dt_big = time.perf_counter() - t0
+    rate_small = out["bounce_sorted"]["mrays_per_s_sweep"]
+    rate_big = n_big / dt_big / 1e6
+    eff = min(1.0, rate_small / rate_big)
+    out["scale8"] = {
+        "bounce_sweep_mrays_shard_131k": rate_small,
+        "bounce_sweep_mrays_full_1m": round(rate_big, 3),
+        "per_chip_efficiency": round(eff, 3),
+    }
     return out
 
 
@@ -666,6 +689,12 @@ def main():
 
     # ---- quality gates: refuse a headline number from wrong images ------
     gated_out = (overflow != 0.0) or (gate_mismatch != 0)
+    projected_8chip = None
+    if util is not None and not gated_out:
+        # strip-DP model: 8 chips x single-chip rate x the measured
+        # shard-size sweep efficiency (measure_utilization "scale8")
+        projected_8chip = round(
+            8 * mrays * util["scale8"]["per_chip_efficiency"], 2)
     result = {
         "metric": f"Mrays/s incoherent (Disney PT, depth 4, {scene_label}, 1200x800)",
         "value": 0.0 if gated_out else round(mrays, 3),
@@ -696,6 +725,7 @@ def main():
                     "triangles": cs.num_triangles,
                     "devices": [str(d) for d in jax.devices()][:4],
                     "scaling": scaling,
+                    "projected_8chip_mrays": projected_8chip,
                     "utilization": util,
                 }
             }

@@ -70,7 +70,8 @@ def make_fused_foveated_step(
             active_mask=act, sample_lanes=lanes,
         )
         rays = jax.lax.psum(out.rays_traced, "lanes")
-        return out.color, rays
+        # per-device ray counts: the static lane balance evidence
+        return out.color, rays, out.rays_traced.reshape(1)
 
     def _repl(tree):
         return jax.tree.map(lambda _: P(), tree)
@@ -86,7 +87,8 @@ def make_fused_foveated_step(
             _repl(cs), _repl(probe), _repl(cam_proto),
             P("lanes"), P("lanes"), P("lanes"), P("lanes"), P(),
         ),
-        out_specs=(jax.tree.map(lambda _: P("lanes"), Vec3(0.0, 0.0, 0.0)), P()),
+        out_specs=(jax.tree.map(lambda _: P("lanes"), Vec3(0.0, 0.0, 0.0)), P(),
+                   P("lanes")),
         check_vma=False,  # pallas_call outputs carry no vma metadata
     )
 
@@ -108,14 +110,15 @@ def make_fused_foveated_step(
         # only the lane->device assignment differs from fused single-chip
         px, py, act, lanes, grids = _expand_zone_lanes(cfg, zones, gaze, sf)
 
-        color, rays = shard(
+        color, rays, rays_dev = shard(
             cs, probe, cam,
             rr(px, 0), rr(py, 0), rr(act, False), rr(lanes, 0), subframe,
         )
         # fold back to concat order (the implicit cross-shard gather), then
         # reduce and splat exactly as the single-device fused step does
         color = Vec3(unrr(color.x), unrr(color.y), unrr(color.z))
-        return _fold_and_splat(cfg, zones, grids, color, accum, subframe), rays
+        return (_fold_and_splat(cfg, zones, grids, color, accum, subframe),
+                rays, rays_dev)
 
     return step
 
@@ -149,6 +152,7 @@ class DistributedFoveatedRenderer:
         self.subframe_index = 0
         self.gaze = (config.width // 2, config.height // 2)
         self.last_rays = 0.0
+        self.last_rays_per_device: np.ndarray | None = None
         self._frame_times: list[float] = []
         self._step = make_fused_foveated_step(
             compiled_scene, probe, config, self.zones, self.mesh
@@ -167,12 +171,13 @@ class DistributedFoveatedRenderer:
         gaze = jnp.asarray(
             [self.gaze[0], self.config.height - 1 - self.gaze[1]], jnp.int32
         )
-        self.accum, rays = self._step(
+        self.accum, rays, rays_dev = self._step(
             cam, gaze, self.accum, jnp.uint32(self.subframe_index)
         )
         jax.block_until_ready(self.accum.x)
         self.subframe_index += 1
         self.last_rays = float(rays)
+        self.last_rays_per_device = np.asarray(rays_dev)
         self._frame_times.append(time.perf_counter() - t0)
         return self.frame()
 

@@ -91,10 +91,13 @@ def make_sharded_step(
             accum, out.color, subframe, cfg.samples_per_launch, cfg.clamp_radiance
         )
         rays = jax.lax.psum(out.rays_traced, "tiles")
+        # per-device ray counts (one scalar per shard, concatenated over the
+        # mesh): the load-balance evidence dryrun_multichip asserts on
+        rays_dev = out.rays_traced.reshape(1)
         if demand:
             usage = jax.lax.psum(out.tex_usage.astype(jnp.int32), "tiles") > 0
-            return new_accum, out.color, rays, usage
-        return new_accum, out.color, rays
+            return new_accum, out.color, rays, rays_dev, usage
+        return new_accum, out.color, rays, rays_dev
 
     in_specs = [
         _replicated(mesh, cs),
@@ -109,6 +112,7 @@ def make_sharded_step(
         _sharded(mesh, Vec3(0, 0, 0)),
         _sharded(mesh, Vec3(0, 0, 0)),
         P(),
+        P("tiles"),
     ]
     if demand:
         in_specs.append(_replicated(mesh, demand_pool))
@@ -167,6 +171,7 @@ class DistributedRenderer:
         self.accum = Vec3(*(jax.device_put(z, sharding) for _ in range(3)))
         self.subframe_index = 0
         self.last_rays = 0.0
+        self.last_rays_per_device: np.ndarray | None = None
         self._step = make_sharded_step(
             compiled_scene, probe, config, self.mesh,
             demand_pool=demand.pool if demand is not None else None,
@@ -177,7 +182,7 @@ class DistributedRenderer:
         sub = jnp.uint32(self.subframe_index)
         if self.demand is not None:
             for _ in range(max(2, self.demand_settle_max)):
-                new_accum, _, rays, usage = self._step(
+                new_accum, _, rays, rays_dev, usage = self._step(
                     cam, self._px, self._py, self.accum, sub, self.demand.pool
                 )
                 u = np.asarray(usage)
@@ -189,12 +194,13 @@ class DistributedRenderer:
                     break  # working set can never be simultaneously resident
             self.accum = new_accum
         else:
-            self.accum, _, rays = self._step(
+            self.accum, _, rays, rays_dev = self._step(
                 cam, self._px, self._py, self.accum, sub
             )
         jax.block_until_ready(self.accum)
         self.subframe_index += 1
         self.last_rays = float(rays)
+        self.last_rays_per_device = np.asarray(rays_dev)
 
     def accum_image(self) -> np.ndarray:
         """Gather shards and undo the strip permutation -> (H, W, 3), top-first."""
