@@ -378,8 +378,9 @@ def quality_track(cs, probe, on_cpu, max_launches=128, ref_path=None):
     ref2d = jnp.asarray(ref_sqrt.reshape(h, w, 3))
 
     @jax.jit
-    def rmse_pipeline(col, nrm, alb, count):
-        nf = jnp.maximum(count.astype(jnp.float32), 1.0)[:, None]
+    def rmse_pipeline(col, nrm, alb, lum, lum2, count):
+        nf1 = jnp.maximum(count.astype(jnp.float32), 1.0)
+        nf = nf1[:, None]
 
         def img(v):
             rows = jnp.stack([v.x, v.y, v.z], -1) / nf
@@ -387,24 +388,36 @@ def quality_track(cs, probe, on_cpu, max_launches=128, ref_path=None):
                 rows, mode="promise_in_bounds")
             return buf[: w * h].reshape(h, w, 3)
 
-        dn = atrous_denoise(img(col), img(nrm), img(alb))
+        mean_l = lum / nf1
+        var = jnp.maximum(lum2 / nf1 - mean_l * mean_l, 0.0) / nf1
+        vbuf = jnp.zeros((w * h + 1,), jnp.float32).at[yx].set(
+            var, mode="promise_in_bounds")
+        # measured-best denoiser config (experiments/denoise_tune.py):
+        # variance-scaled heavy color smoothing + albedo demodulation
+        dn = atrous_denoise(img(col), img(nrm), img(alb),
+                            sigma_color=4.0, sigma_albedo=1.0,
+                            variance=vbuf[: w * h].reshape(h, w),
+                            var_boost=256.0, demodulate=True)
         return jnp.sqrt(jnp.mean((jnp.sqrt(jnp.clip(dn, 0, None)) - ref2d) ** 2))
+
+    def rmse_p(a):
+        return float(rmse_pipeline(a.col_sum, a.nrm_sum, a.alb_sum,
+                                   a.lum_sum, a.lum2_sum, a.count))
 
     def run_pipeline():
         # compile pass on a throwaway state (warmup round + refine round
         # have different launch shapes — warm both), then time fresh
         ar.render()
-        float(rmse_pipeline(ar.col_sum, ar.nrm_sum, ar.alb_sum, ar.count))
+        rmse_p(ar)
         ar.render()
-        float(rmse_pipeline(ar.col_sum, ar.nrm_sum, ar.alb_sum, ar.count))
+        rmse_p(ar)
         ar2 = AdaptiveRenderer(cs, probe, acfg, cam, warmup_spp=2,
                                refine_spp=4, refine_fraction=0.25)
         t = 0.0
         for _ in range(48):
             t0 = time.perf_counter()
             ar2.render()
-            v = float(rmse_pipeline(ar2.col_sum, ar2.nrm_sum, ar2.alb_sum,
-                                    ar2.count))
+            v = rmse_p(ar2)
             t += time.perf_counter() - t0
             mean_spp = float(np.asarray(ar2.count, np.float32).sum()) / (w * h)
             yield t, v, round(mean_spp, 2)
@@ -462,6 +475,86 @@ def quality_track(cs, probe, on_cpu, max_launches=128, ref_path=None):
             "vs_baseline": round(speed / 3.0, 3),  # VERDICT r3 target: >=3x
         })
     return out
+
+
+def demand_textures_line(on_cpu):
+    """One driver-verifiable line composing demand-loaded sparse textures
+    with the cluster traversal backend at bench scale (VERDICT r3 item 10):
+    the loft interior with its walls re-skinned by 8192x8192 PROCEDURAL
+    sources (checkerboard + Mandelbrot — the reference ImageSource set)
+    streamed through the demand pool with a 6-level mip pyramid and
+    footprint LOD. Reports steady-state fps + pager counters; quality gate:
+    the steady state must shade zero non-resident pages (no fallback
+    colors in the accumulated estimator)."""
+    import jax
+    import jax.numpy as jnp
+
+    from optixpathtracer_tpu.builder import compile_scene
+    from optixpathtracer_tpu.core.camera import Camera
+    from optixpathtracer_tpu.engine.renderer import Renderer
+    from optixpathtracer_tpu.engine.wavefront import RenderConfig
+    from optixpathtracer_tpu.io.demand import (
+        CheckerBoardSource,
+        DemandTextureManager,
+        MandelbrotSource,
+    )
+    from optixpathtracer_tpu.io.obj import load_obj
+    from optixpathtracer_tpu.lights.probe import build_probe
+
+    hs = load_obj(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "scenes", "loft.obj"))
+    sources = [
+        CheckerBoardSource(8192, 8192, squares_per_side=128,
+                           color_a=(0.8, 0.7, 0.55), color_b=(0.45, 0.3, 0.2)),
+        MandelbrotSource(8192, 8192),
+        CheckerBoardSource(8192, 8192, squares_per_side=32,
+                           color_a=(0.75, 0.75, 0.78), color_b=(0.5, 0.52, 0.6)),
+    ]
+    while len(sources) < len(hs.textures):
+        sources.append(CheckerBoardSource(8192, 8192))
+    mgr = DemandTextureManager(sources[: len(hs.textures)], capacity=1024,
+                               levels=6)
+    cs = compile_scene(hs, leaf_size=8, wide_width=8, build_wide_bvh=False,
+                       cluster_size=256)
+    probe = build_probe(np.full((8, 16, 3), 1e-6, np.float32))
+    w, h = 480, 320
+    cfg = RenderConfig(
+        width=w, height=h, samples_per_launch=2, max_depth=3,
+        traversal="lockstep" if on_cpu else "cluster", dispatch_tiles=1,
+        sort_rays=not on_cpu, nee_final_bounce=False, batch_spp=True,
+        emission_all_bounces=True, use_shading_normals=True,
+    )
+    cam = Camera(eye=(-5.2, 2.4, 3.2), lookat=(2.0, 1.2, -1.0), up=(0, 1, 0),
+                 fov_y=55, aspect_ratio=w / h)
+    r = Renderer(cs, probe, cfg, cam, demand=mgr)
+    # first launch: compile + settle (page in the frame's working set)
+    r.render(download=False)
+    loaded_at_settle = mgr.pages_loaded
+    # steady state: same camera, pages resident — timed frames
+    frames = 3
+    t0 = time.perf_counter()
+    for _ in range(frames):
+        r.render(download=False)
+    float(r._last.rays_traced)  # hard sync
+    dt = time.perf_counter() - t0
+    usage = np.asarray(r._last.tex_usage)
+    non_resident_shaded = int((usage & (mgr._page_table < 0)).sum())
+    fps = frames / dt
+    return {
+        "metric": "demand-textured loft fps (3x 8k procedural sources, "
+                  f"6-level mips, cluster backend, {w}x{h} spp2 depth3)",
+        "value": 0.0 if non_resident_shaded else round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": 0.0,
+        "pages_resident": int((mgr._page_table >= 0).sum()),
+        "pages_loaded": mgr.pages_loaded,
+        "pages_evicted": mgr.pages_evicted,
+        "pages_total_addressable": int(mgr.num_pages),
+        "pool_capacity": mgr.capacity,
+        "settle_pages": loaded_at_settle,
+        "non_resident_shaded_steady": non_resident_shaded,
+        "rays_per_s": round(float(r._last.rays_traced) * frames / dt / 1e6, 3),
+    }
 
 
 def _unit_box():
@@ -709,6 +802,13 @@ def main():
     if scene_name == "city" and not small and not on_cpu:
         for rec in quality_track(cs, probe, on_cpu):
             print(json.dumps(rec), flush=True)
+        try:
+            print(json.dumps(demand_textures_line(on_cpu)), flush=True)
+        except Exception as e:  # a broken pager must not kill the headline
+            print(json.dumps({
+                "metric": "demand-textured loft fps", "value": 0.0,
+                "unit": "fps", "vs_baseline": 0.0, "error": str(e)[:200],
+            }), flush=True)
     print(
         json.dumps(
             {

@@ -86,6 +86,7 @@ def _adaptive_launch(
     count: Array,      # (P,) uint32 samples so far
     nrm_sum: Vec3,     # (P,) first-bounce AOV sums (denoiser guides)
     alb_sum: Vec3,
+    dep_sum: Array,    # (P,) first-bounce depth sums
     spp: int,
     area_light=None,
 ):
@@ -148,7 +149,9 @@ def _adaptive_launch(
         alb_sum.y.at[slot].add(fold(out.albedo.y * vf)),
         alb_sum.z.at[slot].add(fold(out.albedo.z * vf)),
     )
-    return col_sum, lum_sum, lum2_sum, count, nrm_sum, alb_sum, out.rays_traced
+    dep_sum = dep_sum.at[slot].add(fold(out.depth * vf))
+    return (col_sum, lum_sum, lum2_sum, count, nrm_sum, alb_sum, dep_sum,
+            out.rays_traced)
 
 
 @partial(jax.jit, static_argnames=("n_tiles",))
@@ -212,6 +215,7 @@ class AdaptiveRenderer:
         self.count = jnp.zeros((p,), jnp.uint32)
         self.nrm_sum = Vec3.zeros((p,))
         self.alb_sum = Vec3.zeros((p,))
+        self.dep_sum = jnp.zeros((p,), jnp.float32)
         self.rounds = 0
         self.rays_traced = 0.0
 
@@ -229,11 +233,11 @@ class AdaptiveRenderer:
             sel = sel.astype(jnp.int32)
             spp = self.refine_spp
         (self.col_sum, self.lum_sum, self.lum2_sum, self.count,
-         self.nrm_sum, self.alb_sum, rays) = _adaptive_launch(
+         self.nrm_sum, self.alb_sum, self.dep_sum, rays) = _adaptive_launch(
             self.cs, self.probe, self.config, cam, sel,
             self._px, self._py, self._valid,
             self.col_sum, self.lum_sum, self.lum2_sum, self.count,
-            self.nrm_sum, self.alb_sum,
+            self.nrm_sum, self.alb_sum, self.dep_sum,
             spp, self.area_light,
         )
         self.rays_traced += float(rays)
@@ -262,11 +266,25 @@ class AdaptiveRenderer:
         return self._mean_image(self.col_sum)
 
     def aovs(self) -> dict[str, np.ndarray]:
-        """Running-mean normal/albedo AOVs (denoiser guides)."""
+        """Running-mean normal/albedo/depth AOVs (denoiser guides)."""
         return {
             "normal": self._mean_image(self.nrm_sum),
             "albedo": self._mean_image(self.alb_sum),
+            "depth": self._mean_image(
+                Vec3(self.dep_sum, self.dep_sum, self.dep_sum))[..., 0],
         }
+
+    def variance_image(self) -> np.ndarray:
+        """(H, W) variance of the per-pixel mean (the denoiser's noise
+        guide): Var[samples] / count."""
+        w, h = self.config.width, self.config.height
+        n = np.maximum(np.asarray(self.count, np.float32), 1.0)
+        m = np.asarray(self.lum_sum) / n
+        v = np.maximum(np.asarray(self.lum2_sum) / n - m * m, 0.0) / n
+        img = np.zeros((h * w,), np.float32)
+        yx = (np.asarray(self._py) * w + np.asarray(self._px))[self._valid_np]
+        img[yx] = v[self._valid_np]
+        return img.reshape(h, w)[::-1]
 
     def denoised_image(self, **kwargs) -> np.ndarray:
         """AOV-guided À-Trous denoise of the adaptive running mean — the
@@ -277,6 +295,14 @@ class AdaptiveRenderer:
         from ..ops.denoise import atrous_denoise
 
         aov = self.aovs()
+        # measured-best defaults on the bench scene (experiments/denoise_tune):
+        # heavy variance-scaled color smoothing + albedo demodulation; the
+        # depth guide measured NEGATIVE there and stays opt-in
+        kwargs.setdefault("variance", jnp.asarray(self.variance_image()))
+        kwargs.setdefault("sigma_color", 4.0)
+        kwargs.setdefault("sigma_albedo", 1.0)
+        kwargs.setdefault("var_boost", 256.0)
+        kwargs.setdefault("demodulate", True)
         return np.asarray(
             atrous_denoise(
                 jnp.asarray(self.accum_image()),

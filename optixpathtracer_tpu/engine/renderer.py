@@ -236,13 +236,18 @@ class Renderer:
         return self._to_image(self.accum)
 
     def aovs(self) -> dict[str, np.ndarray]:
-        """normal/albedo/alpha AOVs of the last launch (denoiser inputs)."""
+        """normal/albedo/alpha/depth AOVs of the last launch (denoiser
+        inputs; depth is (H, W), 0 on miss)."""
         if self._last is None:
             raise RuntimeError("render() first")
+        h, w = self.config.height, self.config.width
+        inv = np.asarray(self._inv_perm)
+        depth = np.asarray(self._last.depth)[inv].reshape(h, w)[::-1]
         return {
             "normal": self._to_image(self._last.normal),
             "albedo": self._to_image(self._last.albedo),
             "alpha": self._to_image(self._last.alpha),
+            "depth": depth,
         }
 
     def denoised_image(self, **kwargs) -> np.ndarray:

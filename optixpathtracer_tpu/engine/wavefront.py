@@ -184,6 +184,10 @@ class SampleOutput(NamedTuple):
     alpha: Vec3  # coverage / shadow-catcher alpha mean
     normal: Vec3  # first-bounce AOV mean
     albedo: Vec3  # first-bounce AOV mean
+    depth: Array  # first-bounce hit distance mean (0 on miss) — the
+    #   denoiser's depth guide (the reference fills normal/albedo AOVs only,
+    #   deviceProgram.cu:472-474; depth stops edge-bleeding between
+    #   same-normal same-albedo surfaces at different depths)
     rays_traced: Array  # scalar: exact radiance+shadow ray count (bench metric)
     bfs_overflow: Array  # scalar: BFS worklist candidates dropped (0 == exact
     #   traversal; nonzero means nearest-first truncation occurred)
@@ -724,8 +728,8 @@ def trace_wavefront(
     zero = Vec3(zf, zf, zf)
 
     def sample_body(s, carry):
-        (acc_color, acc_alpha, acc_normal, acc_albedo, acc_backplate,
-         acc_rays, acc_ovf, acc_usage) = carry
+        (acc_color, acc_alpha, acc_normal, acc_albedo, acc_depth,
+         acc_backplate, acc_rays, acc_ovf, acc_usage) = carry
         # per (pixel, subframe, sample) stream
         if fused_lanes:
             seed_ctr = sample_lanes
@@ -782,6 +786,7 @@ def trace_wavefront(
             state=state,
             rays=zero_scalar,
             ovf=zero_scalar,
+            depth_aov=zf,
             bsdf_pdf=zf + 1.0,  # RadiancePRD.bsdfPdf init (deviceProgram.cu:381)
             # True after a delta (SPECULAR) event: bsdf_pdf is then a discrete
             # probability, not a solid-angle density, so MIS weights that mix
@@ -891,6 +896,10 @@ def trace_wavefront(
             aov_a = where(hit, albedo, zero)
             normal_aov = where(is_primary_sweep & active, aov_n, path["normal"])
             albedo_aov = where(is_primary_sweep & active, aov_a, path["albedo"])
+            depth_aov = jnp.where(
+                is_primary_sweep & active, jnp.where(hit, rec.t, 0.0),
+                path["depth_aov"],
+            )
 
             # ---- NEE ----
             eta_o = jnp.where(path["eta"] == 1.0, mat.index_of_refraction(), 1.0)
@@ -1049,7 +1058,8 @@ def trace_wavefront(
                     rays = rays + jnp.sum(path["pend_valid"].astype(jnp.float32))
                 out = dict(
                     path, radiance=radiance, alpha=alpha, normal=normal_aov,
-                    albedo=albedo_aov, state=state, rays=rays, ovf=ovf,
+                    albedo=albedo_aov, depth_aov=depth_aov, state=state,
+                    rays=rays, ovf=ovf,
                 )
                 out.update(pend)
                 return out
@@ -1096,6 +1106,7 @@ def trace_wavefront(
                 alpha=alpha,
                 normal=normal_aov,
                 albedo=albedo_aov,
+                depth_aov=depth_aov,
                 done=done,
                 secondary=secondary,
                 state=state,
@@ -1147,6 +1158,7 @@ def trace_wavefront(
                 path["alpha"].x, path["alpha"].y, path["alpha"].z,
                 path["normal"].x, path["normal"].y, path["normal"].z,
                 path["albedo"].x, path["albedo"].y, path["albedo"].z,
+                path["depth_aov"],
             ]
             restored = permute_packed(outs, inv)
             path = dict(
@@ -1155,6 +1167,7 @@ def trace_wavefront(
                 alpha=Vec3(*restored[3:6]),
                 normal=Vec3(*restored[6:9]),
                 albedo=Vec3(*restored[9:12]),
+                depth_aov=restored[12],
             )
 
         return (
@@ -1162,6 +1175,7 @@ def trace_wavefront(
             acc_alpha + path["alpha"],
             acc_normal + path["normal"],
             acc_albedo + path["albedo"],
+            acc_depth + path["depth_aov"],
             backplate,  # last sample's backplate, as in the reference
             acc_rays + path["rays"],
             acc_ovf + path["ovf"],
@@ -1173,14 +1187,15 @@ def trace_wavefront(
     usage0 = jnp.zeros(
         (demand_pool.num_pages if demand_pool is not None else 1,), jnp.bool_
     ) & (zero_scalar < 1.0)
-    init = (zero, zero, zero, zero, zero, zero_scalar, zero_scalar, usage0)
+    init = (zero, zero, zero, zero, zf, zero, zero_scalar, zero_scalar, usage0)
     if cfg.unroll:
         carry = init
         for _s in range(loop_spp):
             carry = sample_body(jnp.uint32(_s), carry)
-        color, alpha, normal, albedo, backplate, rays, ovf_total, usage = carry
+        (color, alpha, normal, albedo, depth, backplate, rays, ovf_total,
+         usage) = carry
     else:
-        (color, alpha, normal, albedo, backplate, rays, ovf_total,
+        (color, alpha, normal, albedo, depth, backplate, rays, ovf_total,
          usage) = jax.lax.fori_loop(0, loop_spp, sample_body, init)
 
     if batch:
@@ -1196,6 +1211,7 @@ def trace_wavefront(
         alpha = fold(alpha)
         normal = fold(normal)
         albedo = fold(albedo)
+        depth = depth.reshape(spp, n_pix).sum(0)
         backplate = fold(backplate, reduce="mean")
 
     # fused-lane launches are per-lane single samples: no spp normalization
@@ -1203,11 +1219,12 @@ def trace_wavefront(
     alpha = alpha / sppf
     normal = normal / sppf
     albedo = albedo / sppf
+    depth = depth / sppf
     # composite over backplate (deviceProgram.cu:454): spp-summed radiance
     # plus backplate weighted by uncovered fraction
     color = backplate * sppf * (1.0 - alpha) + color
     return SampleOutput(
-        color=color, alpha=alpha, normal=normal, albedo=albedo,
+        color=color, alpha=alpha, normal=normal, albedo=albedo, depth=depth,
         rays_traced=rays, bfs_overflow=ovf_total,
         tex_usage=usage if demand_pool is not None else None,
     )

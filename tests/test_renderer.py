@@ -137,7 +137,10 @@ def test_aovs_present():
     r = _renderer(_box_scene(), _uniform_probe())
     r.render()
     aov = r.aovs()
-    assert set(aov) == {"normal", "albedo", "alpha"}
+    assert set(aov) == {"normal", "albedo", "alpha", "depth"}
+    # depth: positive at hits, zero on background, (H, W) scalar plane
+    assert aov["depth"].ndim == 2
+    assert aov["depth"].max() > 0.0
     # hit pixels have unit-ish normals, background zeros
     nlen = np.linalg.norm(aov["normal"], axis=-1)
     assert nlen.max() < 1.01
