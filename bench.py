@@ -112,9 +112,16 @@ def build_hostile_scene(n_boxes=9800, seed=3, terrain_grid=(256, 64)):
     centers = rng.uniform(-48, 48, size=(n_boxes, 2)).astype(np.float32)
     heights = rng.gamma(2.0, 1.2, size=n_boxes).astype(np.float32) + 0.3
     widths = rng.uniform(0.2, 0.9, size=(n_boxes, 2)).astype(np.float32)
-    # ground height under each box center (nearest grid sample)
-    cx = np.clip(np.searchsorted(xs, centers[:, 0]), 0, gx - 1)
-    cz = np.clip(np.searchsorted(zs, centers[:, 1]), 0, gz - 1)
+    # ground height under each box center, sampled at the box's FINAL
+    # (post-rotation) footprint — the whole city is rotated about Y below,
+    # which keeps y but moves (x, z), so the lookup must use the rotated
+    # center (nearest grid sample; corners clamp to the terrain edge)
+    rx = centers[:, 0] * np.cos(th) + centers[:, 1] * np.sin(th)
+    rz = -centers[:, 0] * np.sin(th) + centers[:, 1] * np.cos(th)
+    cx = np.clip(np.rint((rx - xs[0]) / (xs[1] - xs[0])).astype(np.int64),
+                 0, gx - 1)
+    cz = np.clip(np.rint((rz - zs[0]) / (zs[1] - zs[0])).astype(np.int64),
+                 0, gz - 1)
     base_y = h[cx, cz]
 
     n_buckets = 8

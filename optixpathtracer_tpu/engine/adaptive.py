@@ -270,9 +270,17 @@ class AdaptiveRenderer:
         return {
             "normal": self._mean_image(self.nrm_sum),
             "albedo": self._mean_image(self.alb_sum),
-            "depth": self._mean_image(
-                Vec3(self.dep_sum, self.dep_sum, self.dep_sum))[..., 0],
+            "depth": self._mean_scalar_image(self.dep_sum),
         }
+
+    def _mean_scalar_image(self, s: Array) -> np.ndarray:
+        """(H, W) running mean of a scalar per-lane sum (depth AOV)."""
+        w, h = self.config.width, self.config.height
+        n = np.maximum(np.asarray(self.count, np.float32), 1.0)
+        img = np.zeros((h * w,), np.float32)
+        yx = (np.asarray(self._py) * w + np.asarray(self._px))[self._valid_np]
+        img[yx] = (np.asarray(s) / n)[self._valid_np]
+        return img.reshape(h, w)[::-1]
 
     def variance_image(self) -> np.ndarray:
         """(H, W) variance of the per-pixel mean (the denoiser's noise

@@ -28,6 +28,7 @@ TPU-native design — this is NOT a thread-per-pixel megakernel:
 from __future__ import annotations
 
 import dataclasses
+import functools as _functools
 from typing import NamedTuple
 
 import jax
@@ -420,16 +421,14 @@ _LD_SALT_NEE = 0x85EBCA6B
 _LD_SALT_BSDF = 0xC2B2AE35
 
 
+@_functools.lru_cache(maxsize=4)
 def _blue_noise_table(m: int):
-    import functools
+    # module-level cache: the dart-throwing construction is a Python loop of
+    # m candidate-scoring rounds, and _ld_bases asks for the table once per
+    # salt per unrolled sample body — rebuild only per distinct m
+    from ..core.sampling import projective_blue_noise
 
-    @functools.lru_cache(maxsize=4)
-    def build(n):
-        from ..core.sampling import projective_blue_noise
-
-        return projective_blue_noise(n, dim=2, candidates=24, seed=7)
-
-    return build(m)
+    return projective_blue_noise(m, dim=2, candidates=24, seed=7)
 
 
 def _u32_to_unit(bits: Array) -> Array:

@@ -98,13 +98,13 @@ def compact_indices_sc_plan(flags: Array) -> tuple[Array, Array, Array]:
 
 
 def _sc_compact_kernel_body(flags_ref, idx_ref, cnt_ref):
-    """SparseCore kernel body (requires a VectorSubcoreMesh => SC chip):
-    one store_compressed writes the i-th set flag's index to idx_ref[i]
-    (sc_primitives.store_compressed contract), population count to cnt.
-
-    Kept as a named body so the hardware path is
-    `pl.core_map(VectorSubcoreMesh(...))(_sc_compact_kernel_body)` — the
-    mesh constructor itself refuses chips without an SC block."""
+    """SparseCore kernel body (runs under `pl.core_map(VectorSubcoreMesh)`,
+    i.e. on an SC chip only): one store_compressed writes the i-th set
+    flag's index to idx_ref[i] (sc_primitives.store_compressed contract:
+    x must have the SAME shape as the ref, so idx_ref is sized (n,) — the
+    dispatcher shapes the result to `capacity` outside), population count
+    to cnt. idx_ref arrives pre-filled with -1, so slots >= count keep the
+    XLA reference's padding value."""
     from jax.experimental.pallas import tpu_sc as plsc
 
     flags = flags_ref[...]
@@ -119,25 +119,41 @@ def sc_compact_indices(flags: Array, capacity: int) -> tuple[Array, Array]:
     if not sparsecore_available():
         return compact_indices_xla(flags, capacity)
     # SC path: core_map over the vector subcores (hardware-only; the mesh
-    # cannot be constructed off-chip, which is exactly the gate we want)
+    # constructor itself refuses chips without an SC block). core_map
+    # kernels are stateful — they communicate through the run_state refs.
+    import functools
+
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu_sc as plsc
 
     mesh = plsc.VectorSubcoreMesh(core_axis_name="core",
                                   subcore_axis_name="subcore", num_cores=1)
+    n = flags.shape[0]
 
-    def run(flags_in):
-        out = pl.pallas_call(
-            lambda f_ref, i_ref, c_ref: _sc_compact_kernel_body(
-                f_ref, i_ref, c_ref),
-            out_shape=(jax.ShapeDtypeStruct((capacity,), jnp.int32),
-                       jax.ShapeDtypeStruct((1,), jnp.int32)),
-            compiler_params=None,
-        )(flags_in)
-        return out
+    def stateful(refs):
+        flags_ref, idx_ref, cnt_ref = refs
 
-    idx, cnt = run(flags)
-    return idx, cnt[0]
+        @functools.partial(pl.core_map, mesh)
+        def _():
+            # single-subcore worklist build: the compaction is one serial
+            # store_compressed (SC silicon does the packing); fan-out over
+            # subcores belongs to the consumer gather, not the build
+            first = (jax.lax.axis_index("core") == 0) & (
+                jax.lax.axis_index("subcore") == 0)
+
+            @pl.when(first)
+            def _():
+                _sc_compact_kernel_body(flags_ref, idx_ref, cnt_ref)
+
+    _, idx, cnt = pl.run_state(stateful)(
+        (flags, jnp.full((n,), -1, jnp.int32), jnp.zeros((1,), jnp.int32)))
+    cnt = cnt[0]
+    # shape to `capacity` with the XLA reference's exact padding contract
+    out = idx[: min(capacity, n)]
+    if capacity > n:
+        out = jnp.concatenate(
+            [out, jnp.full((capacity - n,), -1, jnp.int32)])
+    return jnp.where(jnp.arange(capacity) < cnt, out, -1), cnt
 
 
 # --------------------------------------------------------------------------
@@ -186,7 +202,11 @@ def pair_worklist_sc_plan(bits: Array) -> tuple[Array, Array]:
     valid = ((jnp.repeat(bits, w) >> cols.astype(jnp.uint32)) & 1) != 0
     key = cols * r + rows
     packed = rows * w + cols
-    sorted_pairs = plsc.sort_key_val(key, packed, mask=valid)
+    # with a mask, sort_key_val returns (keys, values, out_mask) and pushes
+    # the masked-out slots to the LAST positions (sc_primitives contract) —
+    # the first popcount(bits) values are exactly the valid pairs in
+    # cluster-major order
+    _skeys, sorted_pairs, _omask = plsc.sort_key_val(key, packed, mask=valid)
     rank, _last = plsc.scan_count(cols, mask=valid)
     return sorted_pairs, rank
 
@@ -196,10 +216,14 @@ def sc_pair_worklist(bits: Array, capacity: int) -> tuple[Array, Array, Array]:
     if not sparsecore_available():
         return pair_worklist_xla(bits, capacity)
     sorted_pairs, _rank = pair_worklist_sc_plan(bits)
-    w = 32
+    r, w = bits.shape[0], 32
     cnt = jnp.sum(
         jax.lax.population_count(bits.astype(jnp.uint32)).astype(jnp.int32))
-    sp = sorted_pairs[:capacity]
+    # shape to `capacity` with the XLA reference's exact padding contract
+    sp = sorted_pairs[: min(capacity, r * w)]
+    if capacity > r * w:
+        sp = jnp.concatenate(
+            [sp, jnp.full((capacity - r * w,), -1, jnp.int32)])
     keep = jnp.arange(capacity) < cnt
     return (jnp.where(keep, sp // w, -1).astype(jnp.int32),
             jnp.where(keep, sp % w, -1).astype(jnp.int32), cnt)

@@ -69,6 +69,25 @@ def test_pair_worklist_dispatcher_falls_back(rng):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_padding_contracts_when_capacity_exceeds_input(rng):
+    """capacity > n (compaction) and capacity > r*32 (pairs) must pad with
+    -1, not broadcast-error or return garbage — the dispatcher contract the
+    SC hardware path also implements."""
+    flags = rng.random(40) < 0.5
+    idx, cnt = compact_indices_xla(jnp.asarray(flags), 64)
+    want = np.nonzero(flags)[0]
+    assert int(cnt) == len(want)
+    np.testing.assert_array_equal(np.asarray(idx)[: len(want)], want)
+    assert (np.asarray(idx)[len(want):] == -1).all()
+
+    bits = rng.integers(0, 1 << 32, 4, dtype=np.uint32)
+    row, col, cnt = pair_worklist_xla(jnp.asarray(bits), 4 * 32 + 50)
+    n_want = sum(int(b).bit_count() for b in bits)
+    assert int(cnt) == n_want
+    assert (np.asarray(row)[n_want:] == -1).all()
+    assert (np.asarray(col)[n_want:] == -1).all()
+
+
 def test_sc_plans_trace_with_correct_shapes():
     """The SC programs must TRACE off-hardware: eval_shape runs the
     abstract-eval rules of cumsum / sort_key_val / scan_count — the same
