@@ -110,7 +110,16 @@ def treelet_order(centroids: np.ndarray, cluster_size: int, group: int = SUPER) 
     spheres (measured: median cluster radius 7.3 vs 1.9 world units on the
     150k-tri bench city — per-ray candidate clusters drop ~3x). The role of
     the reference's SAH-optimized optixAccelBuild tree quality
-    (SimplePathtracer.cpp:457-601), re-cast for fixed-size clusters."""
+    (SimplePathtracer.cpp:457-601), re-cast for fixed-size clusters.
+
+    Dispatches to the native C++ builder when available (same recursion and
+    split points; intra-partition order may differ from numpy argpartition,
+    which is unspecified anyway — cluster tightness is the contract)."""
+    from . import native as _native
+
+    nat = _native.treelet_order(centroids, cluster_size, group)
+    if nat is not None:
+        return nat
     n = len(centroids)
     ctr = np.asarray(centroids, np.float64)
     out = np.empty(n, np.int64)
@@ -205,7 +214,24 @@ def build_clusters(
 
 
 def _cluster_tables(sorted_v0, sorted_v1, sorted_v2, num_real, cluster_size):
-    """Numpy table stage shared by the plain and instanced builders."""
+    """Table stage shared by the plain and instanced builders. Native C++
+    fast path (bit-exact, tests/test_accel_native.py) with numpy fallback."""
+    from . import native as _native
+
+    # the native kernel reads f32; only exact when the input already is
+    if all(np.asarray(v).dtype == np.float32
+           for v in (sorted_v0, sorted_v1, sorted_v2)):
+        nat = _native.cluster_tables(
+            sorted_v0, sorted_v1, sorted_v2, int(num_real), int(cluster_size),
+        )
+        if nat is not None:
+            return nat
+    return _cluster_tables_np(sorted_v0, sorted_v1, sorted_v2, num_real,
+                              cluster_size)
+
+
+def _cluster_tables_np(sorted_v0, sorted_v1, sorted_v2, num_real, cluster_size):
+    """Numpy table stage — the reference semantics for the native path."""
     c = int(cluster_size)
     v0 = np.asarray(sorted_v0, np.float64)
     v1 = np.asarray(sorted_v1, np.float64)

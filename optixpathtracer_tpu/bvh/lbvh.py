@@ -233,34 +233,47 @@ def build_bvh(
     t = v0.shape[0]
     pad_to = max(leaf_size, ((t + leaf_size - 1) // leaf_size) * leaf_size)
 
-    c = (v0.astype(np.float64) + v1 + v2) / 3.0
-    codes = np_morton_codes(c)
-    order = np.argsort(codes, kind="stable")
-    # pad by repeating the last sorted triangle: duplicate hits are harmless
-    # and keep the tail leaf's bounding box tight (no fake far-away geometry)
-    if pad_to > t:
-        order = np.concatenate([order, np.repeat(order[-1:], pad_to - t)])
+    # native C++ fast path (bit-exact vs the numpy pipeline below; see
+    # native/src/accel.cpp + tests/test_accel_native.py), numpy fallback
+    from . import native as _native
 
-    sorted_codes = codes[order]
-    num_leaves = pad_to // leaf_size
+    nat = _native.build_binary(v0, v1, v2, leaf_size)
+    if nat is not None:
+        order = nat["order"]
+        left, right = nat["left"], nat["right"]
+        lmin, lmax, rmin, rmax = nat["lmin"], nat["lmax"], nat["rmin"], nat["rmax"]
+        depth = nat["depth"]  # same convention as _np_levels (incl. leaf level)
+    else:
+        c = (v0.astype(np.float64) + v1 + v2) / 3.0
+        codes = np_morton_codes(c)
+        order = np.argsort(codes, kind="stable")
+        # pad by repeating the last sorted triangle: duplicate hits are
+        # harmless and keep the tail leaf's bounding box tight (no fake
+        # far-away geometry)
+        if pad_to > t:
+            order = np.concatenate([order, np.repeat(order[-1:], pad_to - t)])
 
-    tri_min = np.minimum(np.minimum(v0, v1), v2)
-    tri_max = np.maximum(np.maximum(v0, v1), v2)
-    lf_min = tri_min[order].reshape(num_leaves, leaf_size, 3).min(axis=1)
-    lf_max = tri_max[order].reshape(num_leaves, leaf_size, 3).max(axis=1)
+        sorted_codes = codes[order]
+        num_leaves = pad_to // leaf_size
 
-    leaf_codes = sorted_codes[::leaf_size].copy()
-    left, right = _np_karras_tree(leaf_codes)
-    level, depth = _np_levels(left, right)
+        tri_min = np.minimum(np.minimum(v0, v1), v2)
+        tri_max = np.maximum(np.maximum(v0, v1), v2)
+        lf_min = tri_min[order].reshape(num_leaves, leaf_size, 3).min(axis=1)
+        lf_max = tri_max[order].reshape(num_leaves, leaf_size, 3).max(axis=1)
+
+        leaf_codes = sorted_codes[::leaf_size].copy()
+        left, right = _np_karras_tree(leaf_codes)
+        level, depth = _np_levels(left, right)
+        lmin, lmax, rmin, rmax = _np_refit(
+            left, right, lf_min.astype(np.float32), lf_max.astype(np.float32),
+            level,
+        )
     if depth + 1 > TRAVERSAL_STACK_DEPTH:
         raise ValueError(
             f"BVH depth {depth + 1} exceeds the lockstep traversal stack "
             f"({TRAVERSAL_STACK_DEPTH}); raise leaf_size or STACK_DEPTH "
             "(degenerate Morton distribution?)"
         )
-    lmin, lmax, rmin, rmax = _np_refit(
-        left, right, lf_min.astype(np.float32), lf_max.astype(np.float32), level
-    )
 
     def vec(a: np.ndarray) -> Vec3:
         return Vec3(jnp.asarray(a[:, 0]), jnp.asarray(a[:, 1]), jnp.asarray(a[:, 2]))

@@ -245,7 +245,15 @@ def build_wide(
         bbox[0, 0, 3:6] = lM[0]
         depth = 2  # iteration 0 expands the root, iteration 1 tests the leaf
     else:
-        bbox, refs, depth = collapse(cl, cr, lm, lM, rm, rM, num_leaves, width)
+        # native C++ fast path (bit-exact vs `collapse`; the BFS expansion
+        # loop is per-node Python work and dominates big-scene compiles)
+        from . import native as _native
+
+        nat = _native.wide_collapse(cl, cr, lm, lM, rm, rM, num_leaves, width)
+        if nat is not None:
+            bbox, refs, depth = nat
+        else:
+            bbox, refs, depth = collapse(cl, cr, lm, lM, rm, rM, num_leaves, width)
 
     wn = bbox.shape[0]
     if compressed:
