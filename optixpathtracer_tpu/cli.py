@@ -138,6 +138,7 @@ def cmd_render(args: argparse.Namespace) -> int:
             cs, probe, camera, cfg.width, cfg.height, cfg.spp, cfg.max_depth,
             traversal=cfg.traversal,
             emission_all_bounces=cfg.emission_all_bounces,
+            sampling=cfg.sampling, sampling_strata=cfg.sampling_strata,
         )
         for _ in range(cfg.frames):
             img = r.render()
@@ -159,6 +160,7 @@ def cmd_render(args: argparse.Namespace) -> int:
             fused=cfg.fused_foveation, traversal=cfg.traversal,
             emission_all_bounces=cfg.emission_all_bounces,
             nee_final_bounce=cfg.nee_final_bounce, nee_rr=cfg.nee_rr,
+            sampling=cfg.sampling, sampling_strata=cfg.sampling_strata,
         )
         gx, gy = cfg.gaze
         if gx >= 0:
@@ -179,6 +181,7 @@ def cmd_render(args: argparse.Namespace) -> int:
             refine_fraction=cfg.adaptive_fraction, traversal=cfg.traversal,
             emission_all_bounces=cfg.emission_all_bounces,
             nee_final_bounce=cfg.nee_final_bounce, nee_rr=cfg.nee_rr,
+            sampling=cfg.sampling, sampling_strata=cfg.sampling_strata,
         )
         for _ in range(cfg.frames):
             r.render()
@@ -227,6 +230,7 @@ def cmd_render(args: argparse.Namespace) -> int:
         traversal=cfg.traversal, dispatch_tiles=tiles,
         emission_all_bounces=cfg.emission_all_bounces,
         nee_final_bounce=cfg.nee_final_bounce, nee_rr=cfg.nee_rr,
+        sampling=cfg.sampling, sampling_strata=cfg.sampling_strata,
         demand=demand,
     )
     if cfg.checkpoint:
@@ -295,6 +299,7 @@ def cmd_view(args: argparse.Namespace) -> int:
             fused=cfg.fused_foveation, traversal=cfg.traversal,
             emission_all_bounces=cfg.emission_all_bounces,
             nee_final_bounce=cfg.nee_final_bounce, nee_rr=cfg.nee_rr,
+            sampling=cfg.sampling, sampling_strata=cfg.sampling_strata,
         )
     else:
         demand = None
@@ -307,6 +312,7 @@ def cmd_view(args: argparse.Namespace) -> int:
         r = models.make_disney_pt_renderer(
             cs, probe, camera, cfg.width, cfg.height, cfg.spp, cfg.max_depth,
             traversal=cfg.traversal, demand=demand,
+            sampling=cfg.sampling, sampling_strata=cfg.sampling_strata,
         )
     run_interactive(r, camera, port=args.port, max_frames=args.max_frames)
     return 0

@@ -139,9 +139,15 @@ class RenderConfig:
     #                ProjectiveBlueNoise :133-214) with a fresh per-(pixel,
     #                epoch) Cranley-Patterson rotation each m-sample epoch
     #                (rotation by an independent uniform keeps every draw
-    #                marginally uniform => unbiased).
-    #   Deeper-bounce draws always come from the plain stream (their
-    #   dimensions decorrelate too fast for stratification to pay).
+    #                marginally uniform => unbiased);
+    #   "sobol"      padded hash-shuffled Owen-scrambled Sobol (0,2)-sequence
+    #                (core/sobol.py, Burley JCGT 2020): EVERY dimension pair
+    #                at EVERY bounce (AA + per-depth NEE + per-depth BSDF)
+    #                gets its own shuffled/scrambled copy of the sequence —
+    #                stratified at all dyadic scales, the strongest strategy
+    #                here and one the reference never had.
+    #   For stratified/blue, deeper-bounce draws come from the plain stream
+    #   (their strata decorrelate too fast to pay); sobol covers all depths.
     sampling_strata: int = 64  # strata / blue-noise points per pixel epoch
     #   (stratified mode needs a perfect square)
     sort_rays: bool = False  # reorder the path wavefront by a spatial
@@ -436,6 +442,21 @@ def _u32_to_unit(bits: Array) -> Array:
     return jnp.minimum(
         bits.astype(jnp.float32) * jnp.float32(1.0 / 4294967296.0),
         jnp.float32(0.999999),
+    )
+
+
+def _sobol_pair(pix: Array, ctr: Array, depth: Array, salt: int):
+    """One padded Owen-Sobol dimension pair for sample `ctr` of each pixel
+    at bounce `depth` (cfg.sampling == "sobol"). Each (pixel, depth, salt)
+    triple keys an independently shuffled + scrambled copy of the
+    (0,2)-sequence; `ctr` indexes into it (core/sobol.py)."""
+    from ..core.sobol import sobol02_point
+
+    dsalt = (depth.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)) ^ jnp.uint32(salt)
+    s0 = tea(pix.astype(jnp.uint32), dsalt)
+    return sobol02_point(
+        ctr.astype(jnp.uint32), s0,
+        tea(s0, jnp.uint32(0x68BC21EB)), tea(s0, jnp.uint32(0x02E5BE93)),
     )
 
 
@@ -743,9 +764,16 @@ def trace_wavefront(
         # is drawn from the normal stream at the consumer (stream advance
         # counts stay identical across strategies)
         ld = cfg.sampling != "random"
+        sobol = cfg.sampling == "sobol"
         ldsc = 0.0
         ld_leaves = {}
-        if ld:
+        if sobol:
+            # the Sobol draws are recomputed per bounce from (pixel, sample
+            # counter), so only those two u32s ride the path sorts
+            zu = (zf * 0.0).astype(jnp.uint32)
+            ld_leaves = dict(ld_pix=pix_index + zu,
+                             ld_ctr=seed_ctr + zu)
+        elif ld:
             n1, n2, ldsc = _ld_bases(cfg, pix_index, seed_ctr, _LD_SALT_NEE)
             b1, b2, _ = _ld_bases(cfg, pix_index, seed_ctr, _LD_SALT_BSDF)
             ld_leaves = dict(ld_n1=n1, ld_n2=n2, ld_b1=b1, ld_b2=b2)
@@ -753,7 +781,11 @@ def trace_wavefront(
         if cfg.antialias:
             state, jx = randf(state)
             state, jy = randf(state)
-            if ld:
+            if sobol:
+                jx, jy = _sobol_pair(
+                    pix_index, seed_ctr, jnp.uint32(0), _LD_SALT_AA
+                )
+            elif ld:
                 a1, a2, _ = _ld_bases(cfg, pix_index, seed_ctr, _LD_SALT_AA)
                 jx = a1 + jx * ldsc
                 jy = a2 + jy * ldsc
@@ -904,11 +936,18 @@ def trace_wavefront(
             eta_o = jnp.where(path["eta"] == 1.0, mat.index_of_refraction(), 1.0)
             wo = -path["d"]
 
-            def ld_pair(st, key1, key2):
-                """First-bounce low-discrepancy pair: stratum base + stream
-                jitter at depth 0, plain stream draws deeper (same stream
-                advance either way)."""
+            def ld_pair(st, key1, key2, salt):
+                """Low-discrepancy pair for this bounce. sobol: a fresh
+                shuffled/scrambled (0,2) pair at EVERY depth; stratified/
+                blue: stratum base + stream jitter at depth 0, plain stream
+                draws deeper. The stream advance is identical across
+                strategies so every other consumer's stream stays aligned."""
                 st, j1, j2 = randf2(st)
+                if sobol:
+                    u1, u2 = _sobol_pair(
+                        path["ld_pix"], path["ld_ctr"], depth, salt
+                    )
+                    return st, (u1, u2)
                 u1 = jnp.where(is_primary_sweep, path[key1] + j1 * ldsc, j1)
                 u2 = jnp.where(is_primary_sweep, path[key2] + j2 * ldsc, j2)
                 return st, (u1, u2)
@@ -933,7 +972,7 @@ def trace_wavefront(
                 st = path["state"]
                 u12_nee = None
                 if ld:
-                    st, u12_nee = ld_pair(st, "ld_n1", "ld_n2")
+                    st, u12_nee = ld_pair(st, "ld_n1", "ld_n2", _LD_SALT_NEE)
                 state, wi, contrib, nee_valid = _nee_sample(
                     cs, probe, cfg, p_hit, n_hit, wo, mat, albedo,
                     path["eta"], eta_o, st, u12=u12_nee,
@@ -964,7 +1003,7 @@ def trace_wavefront(
                 st = path["state"]
                 u12_nee = None
                 if ld:
-                    st, u12_nee = ld_pair(st, "ld_n1", "ld_n2")
+                    st, u12_nee = ld_pair(st, "ld_n1", "ld_n2", _LD_SALT_NEE)
                 state, lit, shadowed, nee_ovf, shadow_traced = _nee(
                     cs, probe, cfg, p_hit, n_hit, wo, mat, albedo,
                     path["eta"], eta_o, shaded, st,
@@ -1067,7 +1106,7 @@ def trace_wavefront(
             tb, bb = basis_from_vector(n_hit)
             u12_bsdf = None
             if ld:
-                state, u12_bsdf = ld_pair(state, "ld_b1", "ld_b2")
+                state, u12_bsdf = ld_pair(state, "ld_b1", "ld_b2", _LD_SALT_BSDF)
             state, res = disney.bsdf_sample(
                 mat, path["eta"], eta_o, tb, bb, n_hit, wo, state, u12=u12_bsdf
             )
@@ -1120,7 +1159,9 @@ def trace_wavefront(
             if sorting:
                 out["idx"] = path["idx"]
             if ld:
-                for k in ("ld_n1", "ld_n2", "ld_b1", "ld_b2"):
+                keys = ("ld_pix", "ld_ctr") if sobol else (
+                    "ld_n1", "ld_n2", "ld_b1", "ld_b2")
+                for k in keys:
                     out[k] = path[k]
             if demand_pool is not None:
                 out["tex_usage"] = path["tex_usage"]

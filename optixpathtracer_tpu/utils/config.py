@@ -48,8 +48,10 @@ class RunConfig:
     nee_rr: float = 0.0  # unbiased Russian-roulette shadow-ray scheduling
     #   threshold (0 = always trace, reference behavior)
     sampling: str = "random"  # per-sample uniform strategy for the variance-
-    #   dominant draws: "random" | "stratified" | "blue" (the reference's
-    #   sample.h Sample2D strategy switch, live at runtime)
+    #   dominant draws: "random" | "stratified" | "blue" | "sobol" (the
+    #   reference's sample.h Sample2D strategy switch, live at runtime;
+    #   "sobol" = padded Owen-scrambled (0,2)-sequence over every path
+    #   dimension pair at every bounce, core/sobol.py)
     sampling_strata: int = 64  # strata / blue-noise points per pixel epoch
     denoise: bool = False
     tonemap: str = "reinhard"
@@ -132,11 +134,13 @@ def add_config_args(parser: argparse.ArgumentParser) -> None:
         help="unbiased Russian-roulette shadow-ray scheduling threshold "
              "(potential-contribution luminance; 0 = always trace)")
     parser.add_argument(
-        "--sampling", default=None, choices=["random", "stratified", "blue"],
-        help="sampling strategy for the AA jitter and first-bounce NEE/BSDF "
-             "draws: per-pixel-scrambled jittered strata or projective "
-             "blue noise (both unbiased; measured 2-5x variance cut on "
-             "direct lighting at equal spp)")
+        "--sampling", default=None,
+        choices=["random", "stratified", "blue", "sobol"],
+        help="sampling strategy for the variance-dominant 2D draws: "
+             "per-pixel-scrambled jittered strata / projective blue noise "
+             "(AA + first-bounce NEE/BSDF) or a padded Owen-scrambled Sobol "
+             "(0,2)-sequence covering every bounce's draws (all unbiased; "
+             "measured 2-5x variance cut on direct lighting at equal spp)")
     parser.add_argument(
         "--sampling-strata", type=int, default=None, dest="sampling_strata",
         metavar="M", help="strata / blue-noise points per pixel epoch "

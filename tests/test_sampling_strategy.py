@@ -61,7 +61,9 @@ def test_bad_strategy_and_nonsquare_strata_raise():
     pix = jnp.zeros((4,), jnp.uint32)
     ctr = jnp.zeros((4,), jnp.uint32)
     with pytest.raises(ValueError):
-        _ld_bases(RenderConfig(sampling="sobol"), pix, ctr, 1)
+        # sobol is a valid ENGINE strategy but never routes through
+        # _ld_bases (it has no stratum bases); unknown names also raise
+        _ld_bases(RenderConfig(sampling="halton"), pix, ctr, 1)
     with pytest.raises(ValueError):
         _ld_bases(RenderConfig(sampling="stratified", sampling_strata=12),
                   pix, ctr, 1)
