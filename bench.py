@@ -282,9 +282,13 @@ def quality_track(cs, probe, on_cpu, max_launches=128, ref_path=None):
 
       uniform   — random-sampling progressive PT, raw accumulation (the
                   reference renderer's quality trajectory);
-      pipeline  — stratified sampling + variance-guided adaptive top-K
-                  refinement + AOV-guided A-Trous denoise (every quality
-                  subsystem composed; denoise cost counts toward the time);
+      pipeline  — Owen-scrambled Sobol sampling + variance-guided adaptive
+                  top-K refinement + AOV-guided A-Trous denoise (every
+                  quality subsystem composed; denoise cost counts toward
+                  the time). Sobol adopted over stratified from the
+                  measured A/B (experiments/sobol_pipeline_ab.py: 2.82 s /
+                  4.0 spp to target vs stratified 8.58 s / 11.1 spp —
+                  Sobol covers every bounce depth, strata only depth 0);
       foveated  — progressive 3-zone foveation under a static gaze,
                   RMSE over the FOVEA disc (full quality where the user
                   looks — the foveated contract).
@@ -375,8 +379,8 @@ def quality_track(cs, probe, on_cpu, max_launches=128, ref_path=None):
 
     u_rec = row("uniform", "uniform PT, random sampling", run_uniform())
 
-    # ---- row 2: stratified + adaptive + denoise --------------------------
-    acfg = dataclasses.replace(cfgq, sampling="stratified")
+    # ---- row 2: sobol + adaptive + denoise -------------------------------
+    acfg = dataclasses.replace(cfgq, sampling="sobol")
     ar = AdaptiveRenderer(cs, probe, acfg, cam, warmup_spp=2, refine_spp=4,
                           refine_fraction=0.25)
     yx_np = np.asarray(ar._py) * w + np.asarray(ar._px)
@@ -429,7 +433,7 @@ def quality_track(cs, probe, on_cpu, max_launches=128, ref_path=None):
             mean_spp = float(np.asarray(ar2.count, np.float32).sum()) / (w * h)
             yield t, v, round(mean_spp, 2)
 
-    p_rec = row("pipeline", "stratified+adaptive+denoise", run_pipeline())
+    p_rec = row("pipeline", "sobol+adaptive+denoise", run_pipeline())
 
     # ---- row 3: progressive foveation, fovea-disc RMSE -------------------
     fcfg = FoveationConfig(inner_radius=80, outer_radius=200,
@@ -475,7 +479,7 @@ def quality_track(cs, probe, on_cpu, max_launches=128, ref_path=None):
     if u_rec["reached"] and p_rec["reached"] and p_rec["value"] > 0:
         speed = u_rec["value"] / p_rec["value"]
         out.append({
-            "metric": "equal-quality speedup: stratified+adaptive+denoise "
+            "metric": "equal-quality speedup: sobol+adaptive+denoise "
                       "vs uniform PT (RMSE<=0.03 @600x400)",
             "value": round(speed, 2),
             "unit": "x",

@@ -95,10 +95,21 @@ def test_everything_on(ctx):
     assert abs(a.mean() - base.mean()) / base.mean() < 0.15
 
 
+def test_everything_on_sobol(ctx):
+    # sobol rides only (pixel, counter) u32 leaves through the path sorts,
+    # so it must stay sort_rays-invariant and energy-preserving like the
+    # stratified strategies (the bench quality track composes it with
+    # adaptive + denoise — this is its fast-tier engine pin).
+    cs, probe, base = ctx
+    a = _render(cs, probe, fused_shadows=True, nee_rr=0.5, sort_rays=True,
+                batch_spp=True, sampling="sobol")
+    assert abs(a.mean() - base.mean()) / base.mean() < 0.15
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("fused,nee_rr,batch,sampling", list(itertools.product(
     (False, True), (0.0, 0.5), (False, True),
-    ("random", "stratified", "blue"))))
+    ("random", "stratified", "blue", "sobol"))))
 def test_knob_cross_product(ctx, fused, nee_rr, batch, sampling):
     cs, probe, base = ctx
     knobs = dict(fused_shadows=fused, nee_rr=nee_rr, batch_spp=batch,
