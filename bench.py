@@ -275,10 +275,12 @@ def measure_utilization(cs, cam):
 
 def quality_track(cs, probe, on_cpu, max_launches=128, ref_path=None):
     """Time-to-quality rows (VERDICT r3 item 1): seconds of render time to
-    reach sqrt-space RMSE <= 0.03 against the committed 4096-spp stratified
-    self-reference (scenes/ref_city_600x400.npz, tools/make_reference.py),
-    on the bench scene at 600x400 (half the headline frame per axis — the
-    reference artifact stays regenerable in ~35 min of TPU time):
+    reach sqrt-space RMSE <= 0.03 against a committed converged stratified
+    self-reference (tools/make_reference.py). Runs once against
+    scenes/ref_city_600x400.npz (half the headline frame per axis —
+    regenerable in ~35 min of TPU time) and, when the full-resolution
+    artifact scenes/ref_city_1200x800.npz exists, again at the headline
+    1200x800 (each row reports the ref_spp it measured against):
 
       uniform   — random-sampling progressive PT, raw accumulation (the
                   reference renderer's quality trajectory);
@@ -322,6 +324,7 @@ def quality_track(cs, probe, on_cpu, max_launches=128, ref_path=None):
                           "(run tools/make_reference.py)"}]
     ref_d = np.load(ref_path)
     w, h = int(ref_d["width"]), int(ref_d["height"])
+    ref_spp = int(ref_d["spp"])
     ref = ref_d["image"].astype(np.float32)  # (H*W, 3) canonical, bottom-first
     ref_sqrt = np.sqrt(np.clip(ref, 0, None))
     target = 0.03
@@ -351,6 +354,7 @@ def quality_track(cs, probe, on_cpu, max_launches=128, ref_path=None):
             "reached": secs is not None,
             "final_rmse": round(rmse, 5),
             "spp": spp,
+            "ref_spp": ref_spp,
         }
         records.append((name, rec))
         return rec
@@ -480,7 +484,7 @@ def quality_track(cs, probe, on_cpu, max_launches=128, ref_path=None):
         speed = u_rec["value"] / p_rec["value"]
         out.append({
             "metric": "equal-quality speedup: sobol+adaptive+denoise "
-                      "vs uniform PT (RMSE<=0.03 @600x400)",
+                      f"vs uniform PT (RMSE<=0.03 @{w}x{h})",
             "value": round(speed, 2),
             "unit": "x",
             "vs_baseline": round(speed / 3.0, 3),  # VERDICT r3 target: >=3x
@@ -813,6 +817,17 @@ def main():
     if scene_name == "city" and not small and not on_cpu:
         for rec in quality_track(cs, probe, on_cpu):
             print(json.dumps(rec), flush=True)
+        # full-headline-resolution track (VERDICT r3 item 1 asked for
+        # 1200x800): runs whenever its committed reference artifact exists
+        # (tools/make_reference.py --width 1200 --height 800); --no-fullres
+        # skips it if the extra ~4-6 min ever needs to be shaved
+        fullres_ref = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "scenes", "ref_city_1200x800.npz")
+        if os.path.exists(fullres_ref) and "--no-fullres" not in sys.argv:
+            for rec in quality_track(cs, probe, on_cpu,
+                                     ref_path=fullres_ref):
+                print(json.dumps(rec), flush=True)
         try:
             print(json.dumps(demand_textures_line(on_cpu)), flush=True)
         except Exception as e:  # a broken pager must not kill the headline

@@ -1,15 +1,25 @@
-"""Generate the committed self-reference for the time-to-RMSE bench track
-(VERDICT r3 item 1): the bench city at 600x400, 4096 spp, stratified
-sampling (unbiased — same estimator mean as the benched rows), max_depth 4.
+"""Generate a committed self-reference for the time-to-RMSE bench track
+(VERDICT r3 item 1): the bench city rendered to convergence with stratified
+sampling (unbiased — same estimator mean as the benched rows; stream-
+decorrelated from both the random uniform row and the sobol pipeline row),
+max_depth 4.
 
-The artifact (scenes/ref_city_600x400.npz) stores the converged accumulation
+The artifact (scenes/ref_city_{W}x{H}.npz) stores the converged accumulation
 as float16 in the renderer's CANONICAL flat order (row 0 = bottom, y-major),
 i.e. exactly `Renderer.accum` unpermuted — bench.py uploads it once and
 computes sqrt-space RMSE against it on-device (host transfers through the
 TPU tunnel are ~0.3 MB/s; only scalars may cross per checkpoint).
 
-Run (TPU, ~35 min):  PYTHONPATH=. python tools/make_reference.py
+The accumulation is CHECKPOINTED at power-of-two spp milestones (512 spp
+onward, atomic tmp+rename), so a long full-resolution run is usable from
+its first milestone; each npz records its own `spp` and bench rows report
+the reference spp they measured against.
+
+Run (TPU):
+  PYTHONPATH=. python tools/make_reference.py                 # 600x400, 4096 spp (~35 min)
+  PYTHONPATH=. python tools/make_reference.py --width 1200 --height 800  # full headline res (~2.3 h)
 """
+import argparse
 import os
 import sys
 import time
@@ -18,12 +28,28 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-W, H = 600, 400
-TOTAL_SPP = 4096
-SPP_PER_LAUNCH = 8
+
+def _save(path, canonical, w, h, spp):
+    tmp = path + ".tmp.npz"
+    np.savez_compressed(
+        tmp, image=canonical.astype(np.float16), width=w, height=h,
+        spp=spp, max_depth=4, scene="city_12500_seed0",
+        eye=(55.0, 18.0, 55.0), lookat=(0.0, 2.0, 0.0), fov_y=45.0,
+    )
+    os.replace(tmp, path)
+    print(f"checkpoint {spp} spp -> {path} mean={canonical.mean():.4f}",
+          flush=True)
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--width", type=int, default=600)
+    ap.add_argument("--height", type=int, default=400)
+    ap.add_argument("--spp", type=int, default=4096)
+    ap.add_argument("--spp-per-launch", type=int, default=8)
+    args = ap.parse_args()
+    w, h, spl = args.width, args.height, args.spp_per_launch
+
     from optixpathtracer_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -42,37 +68,39 @@ def main():
     sky[8:12, 30:34] = (60.0, 55.0, 45.0)
     probe = build_probe(sky)
     cam = Camera(eye=(55.0, 18.0, 55.0), lookat=(0.0, 2.0, 0.0), up=(0, 1, 0),
-                 fov_y=45, aspect_ratio=W / H)
+                 fov_y=45, aspect_ratio=w / h)
     on_cpu = jax.default_backend() == "cpu"
     cfg = RenderConfig(
-        width=W, height=H, samples_per_launch=SPP_PER_LAUNCH, max_depth=4,
+        width=w, height=h, samples_per_launch=spl, max_depth=4,
         traversal="lockstep" if on_cpu else "cluster", dispatch_tiles=1,
         sort_rays=not on_cpu, nee_final_bounce=False, batch_spp=True,
         sampling="stratified",
     )
     r = Renderer(cs, probe, cfg, cam)
-    n_launches = TOTAL_SPP // SPP_PER_LAUNCH
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scenes", f"ref_city_{w}x{h}.npz")
+    inv = np.argsort(r._perm, kind="stable")
+
+    def canonical():
+        accum = np.stack([np.asarray(r.accum.x), np.asarray(r.accum.y),
+                          np.asarray(r.accum.z)], -1)
+        return accum[inv]  # flat (H*W, 3), row 0 = bottom
+
+    milestones = {m for m in (512, 1024, 2048, 4096, 8192) if m <= args.spp}
+    n_launches = args.spp // spl
     t0 = time.perf_counter()
     for i in range(n_launches):
         r.render(download=False)
+        spp_done = (i + 1) * spl
+        if spp_done in milestones or i + 1 == n_launches:
+            _save(out, canonical(), w, h, spp_done)
         if (i + 1) % 64 == 0:
             float(r._last.rays_traced)  # hard sync for an honest ETA
             dt = time.perf_counter() - t0
-            print(f"{(i + 1) * SPP_PER_LAUNCH} spp, {dt:.0f}s "
+            print(f"{spp_done} spp, {dt:.0f}s "
                   f"(ETA {dt / (i + 1) * (n_launches - i - 1):.0f}s)",
                   flush=True)
-    accum = np.stack([np.asarray(r.accum.x), np.asarray(r.accum.y),
-                      np.asarray(r.accum.z)], -1)
-    inv = np.argsort(r._perm, kind="stable")
-    canonical = accum[inv]  # flat (H*W, 3), row 0 = bottom
-    out = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "scenes", "ref_city_600x400.npz")
-    np.savez_compressed(
-        out, image=canonical.astype(np.float16), width=W, height=H,
-        spp=TOTAL_SPP, max_depth=4, scene="city_12500_seed0",
-        eye=(55.0, 18.0, 55.0), lookat=(0.0, 2.0, 0.0), fov_y=45.0,
-    )
-    print(f"wrote {out} mean={canonical.mean():.4f}")
+    print(f"wrote {out}")
 
 
 if __name__ == "__main__":
