@@ -318,13 +318,24 @@ def quality_track(cs, probe, on_cpu, max_launches=128, ref_path=None):
         ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "scenes", "ref_city_600x400.npz")
     if not os.path.exists(ref_path):
+        # LOUD failure (ADVICE r4 medium): a missing committed reference
+        # means the repo's quality headline silently vanishes on a fresh
+        # clone — print an unmissable error row AND complain on stderr
+        msg = (f"missing committed reference artifact {ref_path} "
+               "(regenerate with tools/make_reference.py)")
+        print(f"BENCH ERROR: {msg}", file=sys.stderr, flush=True)
         return [{"metric": "time-to-RMSE track", "value": 0.0,
-                 "unit": "s", "vs_baseline": 0.0,
-                 "error": "missing scenes/ref_city_600x400.npz "
-                          "(run tools/make_reference.py)"}]
+                 "unit": "s", "vs_baseline": 0.0, "error": msg}]
     ref_d = np.load(ref_path)
     w, h = int(ref_d["width"]), int(ref_d["height"])
     ref_spp = int(ref_d["spp"])
+    # reference-convergence floor (ADVICE r4 medium): below 2048 spp the
+    # RMSE<=0.03 gate carries non-trivial reference noise; mark the rows
+    ref_below_floor = ref_spp < 2048
+    if ref_below_floor:
+        print(f"BENCH WARNING: {ref_path} has ref_spp={ref_spp} < 2048 — "
+              "quality rows are marked ref_below_floor",
+              file=sys.stderr, flush=True)
     ref = ref_d["image"].astype(np.float32)  # (H*W, 3) canonical, bottom-first
     ref_sqrt = np.sqrt(np.clip(ref, 0, None))
     target = 0.03
@@ -356,6 +367,8 @@ def quality_track(cs, probe, on_cpu, max_launches=128, ref_path=None):
             "spp": spp,
             "ref_spp": ref_spp,
         }
+        if ref_below_floor:
+            rec["ref_below_floor"] = True
         records.append((name, rec))
         return rec
 
@@ -640,6 +653,14 @@ def main():
     else:
         hs = build_city_scene(n_boxes=n_boxes)
         scene_label = "150k-tri city"
+    # warm the backend + jax dispatch path OUTSIDE the build timer: the
+    # first device_put pays ~10 s of TPU-tunnel client bring-up plus ~4 s of
+    # first-call jax dispatch warmup in the driver environment (BENCH_r04's
+    # 12.88 s "bvh_build_s" decomposed into exactly that — the warm build
+    # itself is ~0.5 s numpy / ~0.3 s native at 150k tris)
+    jax.devices()
+    compile_scene(build_city_scene(n_boxes=4), leaf_size=8, wide_width=8,
+                  build_wide_bvh=False, cluster_size=256)
     t0 = time.perf_counter()
     # cluster_size 256: fatter (128, 256) M-T evals amortize the per-eval
     # issue overhead (measured: 64 is 1.5x worse, 256 ~4% better than 128)
@@ -818,13 +839,15 @@ def main():
         for rec in quality_track(cs, probe, on_cpu):
             print(json.dumps(rec), flush=True)
         # full-headline-resolution track (VERDICT r3 item 1 asked for
-        # 1200x800): runs whenever its committed reference artifact exists
-        # (tools/make_reference.py --width 1200 --height 800); --no-fullres
-        # skips it if the extra ~4-6 min ever needs to be shaved
+        # 1200x800) against the COMMITTED 2048-spp reference artifact
+        # (tools/make_reference.py --width 1200 --height 800 --spp 2048);
+        # a missing artifact prints a loud error row via quality_track
+        # rather than silently skipping (ADVICE r4 medium). --no-fullres
+        # skips it explicitly if the extra ~4-6 min ever needs to be shaved
         fullres_ref = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
             "scenes", "ref_city_1200x800.npz")
-        if os.path.exists(fullres_ref) and "--no-fullres" not in sys.argv:
+        if "--no-fullres" not in sys.argv:
             for rec in quality_track(cs, probe, on_cpu,
                                      ref_path=fullres_ref):
                 print(json.dumps(rec), flush=True)

@@ -49,6 +49,8 @@ def main():
     ap.add_argument("--spp-per-launch", type=int, default=8)
     args = ap.parse_args()
     w, h, spl = args.width, args.height, args.spp_per_launch
+    if args.spp % spl:
+        ap.error(f"--spp {args.spp} must be divisible by --spp-per-launch {spl}")
 
     from optixpathtracer_tpu.utils.cache import enable_compilation_cache
 
@@ -86,13 +88,20 @@ def main():
                           np.asarray(r.accum.z)], -1)
         return accum[inv]  # flat (H*W, 3), row 0 = bottom
 
-    milestones = {m for m in (512, 1024, 2048, 4096, 8192) if m <= args.spp}
+    # milestone popping (ADVICE r4): fire on `spp_done >= m`, so launch sizes
+    # that don't divide the power-of-two milestones still checkpoint
+    milestones = sorted(m for m in (512, 1024, 2048, 4096, 8192)
+                        if m <= args.spp)
     n_launches = args.spp // spl
     t0 = time.perf_counter()
     for i in range(n_launches):
         r.render(download=False)
         spp_done = (i + 1) * spl
-        if spp_done in milestones or i + 1 == n_launches:
+        hit = False
+        while milestones and spp_done >= milestones[0]:
+            milestones.pop(0)
+            hit = True
+        if hit or i + 1 == n_launches:
             _save(out, canonical(), w, h, spp_done)
         if (i + 1) % 64 == 0:
             float(r._last.rays_traced)  # hard sync for an honest ETA
