@@ -68,6 +68,20 @@ SWEEP_GROUPS = 2  # ray-block gate granularity: the sweep kernels test member
 #   PERF_NOTES.md post-slab knob re-sweep).
 
 
+NODE = 8  # superclusters per node — the third cull level (hier backend).
+#   A node covers NODE*SUPER clusters (= 16k triangles at C=256); the
+#   external cull + sort run at node granularity (64x fewer columns than the
+#   flat per-cluster cull), and the sweep kernels re-cull each visited
+#   node's clusters INLINE against the rays' CURRENT [t_min, best_t]
+#   intervals — fresher than any precomputed bits, and the SMEM tables
+#   scale with nodes, not superclusters (the flat formulation's (8, S) x6
+#   SMEM tables are what physically break past ~2M triangles).
+HIER_MIN_ENTRIES = 256  # auto-switch threshold for closest/any_hit_cluster:
+#   scenes with >= this many entries (~0.5M triangles at C=256) take the
+#   hierarchical path; below it the flat path's measured constants win.
+_RING2 = 2  # node-sweep DMA ring depth (one node in flight)
+
+
 class CullResult(NamedTuple):
     ids: Array  # (NR, E) int32 entry ids, survivors first, near-to-far
     keys: Array  # (NR, E) f32 sorted distance lower bounds (BIG for misses)
@@ -258,17 +272,11 @@ def _cull_xla(rays8, sph_t, *, block: int):
     return key[:, 0, :], lo[:, 0, :], hi[:, 0, :], count[:, None]
 
 
-def block_cull(
-    cs: ClusterSet,
-    o: Vec3,
-    d: Vec3,
-    t_min: Array,
-    t_max: Array,
-    block: int,
-    pallas_cull: bool | None = None,
-) -> CullResult:
-    """Stage 1: per-ray sphere tests OR-reduced per ray block, then one sort
-    to order each block's surviving superclusters near-to-far."""
+def _pack_rays8(cs: ClusterSet, o: Vec3, d: Vec3, t_min, t_max, block: int):
+    """Shared cull preamble: pad rays to whole 8-block grid steps and cap
+    every ray's reach at the scene-AABB exit (no hit can lie beyond, and the
+    tighter t_max makes the sweeps' early exit fire even in blocks
+    containing sky rays whose t_max=1e16 would pin gmax forever)."""
     n = o.x.shape[0]
     if block % 8:
         raise ValueError(
@@ -283,9 +291,6 @@ def block_cull(
     dx, dy, dz = (_pad1(a, nb, 1.0) for a in (d.x, d.y, d.z))
     tm = _pad1(t_min, nb, 1.0)
     tM = _pad1(t_max, nb, 0.0)
-    # cap every ray's reach at the scene AABB exit: no hit can lie beyond,
-    # and the tighter t_max makes the sweep's early exit fire even in blocks
-    # containing sky rays (otherwise their t_max=1e16 pins gmax forever)
     bb = cs.scene_aabb
     ix = 1.0 / jnp.where(jnp.abs(dx) > 1e-30, dx, 1e-30)
     iy = 1.0 / jnp.where(jnp.abs(dy) > 1e-30, dy, 1e-30)
@@ -306,7 +311,22 @@ def block_cull(
     )
     reach_cap = jnp.where(exit_ >= entry, jnp.maximum(exit_, 0.0), 0.0)
     tM = jnp.minimum(tM, reach_cap * (1.0 + 1e-5) + 1e-6)
-    rays8 = jnp.stack([ox, oy, oz, dx, dy, dz, tm, tM], axis=1)
+    return jnp.stack([ox, oy, oz, dx, dy, dz, tm, tM], axis=1)
+
+
+def block_cull(
+    cs: ClusterSet,
+    o: Vec3,
+    d: Vec3,
+    t_min: Array,
+    t_max: Array,
+    block: int,
+    pallas_cull: bool | None = None,
+) -> CullResult:
+    """Stage 1: per-ray sphere tests OR-reduced per ray block, then one sort
+    to order each block's surviving superclusters near-to-far."""
+    rays8 = _pack_rays8(cs, o, d, t_min, t_max, block)
+    nb = rays8.shape[0]
 
     # per-cluster sphere table, member-major columns (member k of super s at
     # column k*S + s) so the cull can reduce members by slicing
@@ -812,8 +832,18 @@ def closest_hit_cluster(
     block: int = DEFAULT_BLOCK,
     interpret: bool | None = None,
     groups: int | None = None,
+    hier: bool | None = None,
 ) -> HitRecord:
-    """Exact closest-hit for a ray wavefront (cluster backend)."""
+    """Exact closest-hit for a ray wavefront (cluster backend).
+
+    hier=None auto-selects the hierarchical (node) path for scenes with
+    >= HIER_MIN_ENTRIES entries — the flat path's cull/sort/SMEM all scale
+    with the supercluster count and stop compiling past ~2M triangles."""
+    if hier is None:
+        hier = cs.num_entries >= HIER_MIN_ENTRIES
+    if hier:
+        return closest_hit_cluster_hier(
+            cs, o, d, t_min, t_max, block, interpret, groups)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     interpret = bool(interpret)
@@ -898,11 +928,17 @@ def any_hit_cluster(
     block: int = DEFAULT_BLOCK,
     interpret: bool | None = None,
     groups: int | None = None,
+    hier: bool | None = None,
 ) -> tuple[Array, Array]:
     """Occlusion query: (occluded (N,), overflow scalar == 0 always).
 
     Dedicated terminate-on-first-hit sweep: occluded rays stop constraining
     the walk immediately. Matches any_hit_bfs's interface."""
+    if hier is None:
+        hier = cs.num_entries >= HIER_MIN_ENTRIES
+    if hier:
+        return any_hit_cluster_hier(
+            cs, o, d, t_min, t_max, block, interpret, groups)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     interpret = bool(interpret)
@@ -916,6 +952,527 @@ def any_hit_cluster(
         block=block, interpret=interpret, cluster_size=cs.cluster_size,
         # explicit groups is honored even in interpret mode (testability);
         # the default avoids interpreting 64 gate branches per visit
+        groups=groups or (1 if interpret else SWEEP_GROUPS),
+    )
+    return occ[:n, 0] > 0, jnp.zeros((), _F32)
+
+
+# --------------------------------------------------------------------------
+# Hierarchical (3-level) path: node cull -> node sweep with inline cluster
+# re-cull. The flat path above scales its cull compute, sort width and SMEM
+# tables with the SUPERCLUSTER count; past ~0.5M triangles this NODE-level
+# formulation wins, and past ~2M the flat path stops compiling (six (8, S)
+# SMEM tables per grid step exceed scalar memory).
+# --------------------------------------------------------------------------
+
+class NodeCullResult(NamedTuple):
+    ids: Array  # (NR, N2) i32 node ids, survivors first, near-to-far
+    keys: Array  # (NR, N2) f32 sorted node distance lower bounds
+    bits_lo: Array  # (NR, N2) u32 per-sub-block ENTRY masks (sub-blocks 0-3;
+    #   entry k2 of sub-block s at bit (s%4)*8 + k2) — used to gate DMA
+    bits_hi: Array  # (NR, N2) u32 same for sub-blocks 4-7
+    count: Array  # (NR, 1) i32 surviving node count
+    rays8: Array  # (NR*B, 8) f32 [o(3), d(3), t_min, t_max]
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _node_tables(super_spheres, spheres, entry_row, entry_xf):
+    """Node-granularity tables, derived (and jit-cached) from the entry
+    tables. Entries are padded to a whole number of NODE-sized groups with
+    far-sentinel boxes (center _BIG/2, zero extent: the slab test's tf is
+    capped at the ray's reach, so tn > tf always — never visited).
+
+    Returns:
+      node_sph_t: (8, E8) f32 member-major entry-box table for the node cull
+                  (entry k2 of node j at column k2*N2 + j)
+      csph:       (N2, 8, NODE*SUPER) f32 per-node cluster-box table for the
+                  in-kernel re-cull (cluster (k2, k) at column k2*SUPER + k)
+      erow2/exf2: (1, E8) i32 global entry -> rows-index / transform-id
+    """
+    e = super_spheres.shape[0]
+    n2 = -(-e // NODE)
+    e8 = n2 * NODE
+    if e8 > e:
+        sent = jnp.zeros((e8 - e, 8), _F32).at[:, 0].set(_BIG / 2)
+        ss = jnp.concatenate([super_spheres, sent])
+        csent = jnp.zeros(((e8 - e) * SUPER, 8), _F32).at[:, 0].set(_BIG / 2)
+        sp = jnp.concatenate([spheres, csent])
+        erow = jnp.concatenate([entry_row, jnp.zeros((e8 - e,), _I32)])
+        exf = jnp.concatenate([entry_xf, jnp.zeros((e8 - e,), _I32)])
+    else:
+        ss, sp, erow, exf = super_spheres, spheres, entry_row, entry_xf
+    node_sph_t = ss.reshape(n2, NODE, 8).transpose(1, 0, 2).reshape(e8, 8).T
+    csph = sp.reshape(n2, NODE * SUPER, 8).transpose(0, 2, 1)
+    return node_sph_t, csph, erow[None, :], exf[None, :]
+
+
+def block_cull_nodes(
+    cs: ClusterSet,
+    node_sph_t: Array,
+    o: Vec3,
+    d: Vec3,
+    t_min,
+    t_max,
+    block: int,
+    pallas_cull: bool | None = None,
+) -> NodeCullResult:
+    """Node-granularity cull: `_cull_math` applied with nodes as the
+    reduction groups and ENTRIES as the members — 64x fewer columns than the
+    flat per-cluster cull and an 8x narrower sort."""
+    rays8 = _pack_rays8(cs, o, d, t_min, t_max, block)
+    nb = rays8.shape[0]
+    if pallas_cull is None:
+        pallas_cull = jax.default_backend() == "tpu"
+    if pallas_cull:
+        key, lo, hi, count = _cull_pallas(rays8, node_sph_t, block=block,
+                                          interpret=False)
+    else:
+        key, lo, hi, count = _cull_xla(rays8, node_sph_t, block=block)
+    nr = nb // block
+    n2 = node_sph_t.shape[1] // NODE
+    ids0 = jnp.broadcast_to(jnp.arange(n2, dtype=_I32)[None, :], (nr, n2))
+    keys, ids, lo, hi = jax.lax.sort([key, ids0, lo, hi], num_keys=1)
+    return NodeCullResult(ids=ids, keys=keys, bits_lo=lo, bits_hi=hi,
+                          count=count, rays8=rays8)
+
+
+def _node_recull(o3, d3, tm, tcur, nsph):
+    """In-kernel re-cull of one node's clusters against each ray's CURRENT
+    [t_min, best_t] interval: exact slab test, (B, NODE*SUPER) VPU ops.
+    nsph: (8, NODE*SUPER) attr rows [cx cy cz r hx hy hz .]. Returns a
+    (B, NODE*SUPER) bool hit matrix (conservative per ray)."""
+    ox, oy, oz = o3[:, 0:1], o3[:, 1:2], o3[:, 2:3]
+    dx, dy, dz = d3[:, 0:1], d3[:, 1:2], d3[:, 2:3]
+    alive = tcur > tm
+    qx, qy, qz = nsph[0:1, :], nsph[1:2, :], nsph[2:3, :]
+    hx, hy, hz = nsph[4:5, :], nsph[5:6, :], nsph[6:7, :]
+
+    def axis(dc, oc, qc, hc):
+        iv = 1.0 / jnp.where(jnp.abs(dc) > 1e-30, dc, 1e-30)
+        mid = (qc - oc) * iv
+        rad = hc * jnp.abs(iv)
+        return mid - rad, mid + rad
+
+    t0x, t1x = axis(dx, ox, qx, hx)
+    t0y, t1y = axis(dy, oy, qy, hy)
+    t0z, t1z = axis(dz, oz, qz, hz)
+    tn = jnp.maximum(jnp.maximum(t0x, t0y), jnp.maximum(t0z, 0.0))
+    tf = jnp.minimum(jnp.minimum(t1x, t1y), jnp.minimum(t1z, tcur))
+    return alive & (tn <= tf + jnp.abs(tf) * 4e-7 + 1e-30)
+
+
+def _pack_group_bits(hit, groups: int):
+    """Reduce a (B, 64) hit matrix to per-group packed scalars.
+
+    Returns a list of (lo, hi) uint32 SCALAR pairs, one per group: bit j of
+    lo (j<32) / hi (j>=32) == any ray in the group can hit cluster column j.
+    Each pack costs two VPU->scalar reductions — 2*groups syncs per visit,
+    traded for gating every M-T eval by scalar bit tests."""
+    b = hit.shape[0]
+    rows_g = b // groups
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, hit.shape[1]), 1)
+    sh = jnp.uint32(1) << (iota % 32).astype(jnp.uint32)
+    w_lo = jnp.where(iota < 32, sh, jnp.uint32(0))
+    w_hi = jnp.where(iota >= 32, sh, jnp.uint32(0))
+    out = []
+    for g in range(groups):
+        anyg = jnp.any(hit[g * rows_g : (g + 1) * rows_g], axis=0,
+                       keepdims=True)
+        a = anyg.astype(jnp.uint32)
+        out.append((jnp.sum(a * w_lo), jnp.sum(a * w_hi)))
+    return out
+
+
+def _hier_kernel_body(
+    ids_ref, keys_ref, lo_ref, hi_ref, cnt_ref, erow_ref, exf_ref, rays_ref,
+    xf_ref, csph_ref, rows_hbm, rbuf, sem, *, c, n2, block, groups,
+    init_accs, visit_member, gmax_of_accs, r,
+):
+    """Shared walk for the hierarchical closest/any sweeps: one ray block's
+    near-to-far node walk with whole-node gated DMA (ring depth _RING2) and
+    inline cluster re-cull. The closest/any variants differ only in their
+    accumulator init, per-member M-T epilogue and early-exit bound — passed
+    in as callbacks operating on scratch refs."""
+    cn = NODE * SUPER  # cluster columns per node
+    sl = slice(r * block, (r + 1) * block)
+    count = cnt_ref[r, 0]
+    o3 = rays_ref[sl, 0:3]
+    d3 = rays_ref[sl, 3:6]
+    tm = rays_ref[sl, 6:7]
+    tM = rays_ref[sl, 7:8]
+    dlen = jnp.sqrt(d3[:, 0:1] ** 2 + d3[:, 1:2] ** 2 + d3[:, 2:3] ** 2)
+
+    init_accs(tM)
+
+    def entry_started(j):
+        # Pass-A union over sub-blocks: was entry k2 of node j DMA'd?
+        lo_w = lo_ref[r, j]
+        hi_w = hi_ref[r, j]
+        u = (lo_w | (lo_w >> 8) | (lo_w >> 16) | (lo_w >> 24)
+             | hi_w | (hi_w >> 8) | (hi_w >> 16) | (hi_w >> 24))
+        return u  # bit k2 (0..7) = entry k2 has any sub-block bit
+
+    def start_node(j):
+        nid = ids_ref[r, j]
+        slot = jax.lax.rem(j, _RING2)
+        u = entry_started(j)
+        for k2 in range(NODE):
+            @pl.when((u >> k2) & 1 != 0)
+            def _(k2=k2):
+                pltpu.make_async_copy(
+                    rows_hbm.at[erow_ref[0, nid * NODE + k2]],
+                    rbuf.at[slot, k2], sem.at[slot, k2],
+                ).start()
+
+    def wait_node(j):
+        slot = jax.lax.rem(j, _RING2)
+        u = entry_started(j)
+        for k2 in range(NODE):
+            @pl.when((u >> k2) & 1 != 0)
+            def _(k2=k2):
+                pltpu.make_async_copy(
+                    rows_hbm.at[erow_ref[0, 0]], rbuf.at[slot, k2],
+                    sem.at[slot, k2],
+                ).wait()
+
+    # prime: node 0 in flight
+    @pl.when(count > 0)
+    def _():
+        start_node(jnp.int32(0))
+
+    gmax0 = gmax_of_accs(tM, dlen)
+
+    def cond(carry):
+        i, gmax = carry
+        k = keys_ref[r, jnp.minimum(i, n2 - 1)]
+        alive = k <= gmax[0]
+        for g in range(1, groups):
+            alive = alive | (k <= gmax[g])
+        return (i < count) & alive
+
+    def body(carry):
+        i, gmax = carry
+
+        @pl.when(i + 1 < count)
+        def _():
+            start_node(i + 1)
+
+        wait_node(i)
+        nid = ids_ref[r, i]
+        slot = jax.lax.rem(i, _RING2)
+        # inline re-cull vs the CURRENT best interval (closest) / remaining
+        # reach (any-hit) — strictly fresher than any precomputed bits
+        tcur = gmax_of_accs(tM, dlen, as_tcur=True)
+        nsph = csph_ref[nid]  # (8, cn) via dynamic major index
+        hit = _node_recull(o3, d3, tm, tcur, nsph)
+        packed = _pack_group_bits(hit, groups)
+        lo_any = packed[0][0]
+        hi_any = packed[0][1]
+        for g in range(1, groups):
+            lo_any = lo_any | packed[g][0]
+            hi_any = hi_any | packed[g][1]
+
+        rows_g = block // groups
+        for k2 in range(NODE):
+            # entry-level gate: any member cluster flagged by any group
+            if k2 < 4:
+                egate = (lo_any >> (k2 * 8)) & jnp.uint32(0xFF)
+            else:
+                egate = (hi_any >> ((k2 - 4) * 8)) & jnp.uint32(0xFF)
+
+            @pl.when(egate != 0)
+            def _(k2=k2, slot=slot, nid=nid):
+                xf = xf_ref[pl.ds(exf_ref[0, nid * NODE + k2], 1), :]
+                oc, dc = _xform_ray(o3, d3, xf)
+                rows_super = rbuf[slot, k2]  # (STORE_ROWS, SUPER*c)
+                for k in range(SUPER):
+                    j = k2 * SUPER + k
+                    for g in range(groups):
+                        word = packed[g][0] if j < 32 else packed[g][1]
+                        gate = (word >> (j % 32)) & 1 != 0
+                        rsl = slice(g * rows_g, (g + 1) * rows_g)
+
+                        @pl.when(gate)
+                        def _(k=k, rsl=rsl, k2=k2, nid=nid):
+                            visit_member(
+                                tuple(x[rsl] for x in oc),
+                                tuple(x[rsl] for x in dc),
+                                rows_super[:, k * c : (k + 1) * c],
+                                rsl, (nid * NODE + k2) * SUPER + k,
+                            )
+
+        gmax = gmax_of_accs(tM, dlen)
+        return i + 1, gmax
+
+    i_f, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), gmax0))
+
+    # early exit leaves at most one prefetched node in flight; drain it
+    @pl.when(i_f < count)
+    def _():
+        wait_node(i_f)
+
+
+def _closest_kernel_hier(
+    ids_ref, keys_ref, lo_ref, hi_ref, cnt_ref, erow_ref, exf_ref, rays_ref,
+    xf_ref, csph_ref, rows_hbm, t_ref, tri_ref, rbuf, sem, acc_t, acc_tri,
+    *, c: int, n2: int, block: int, groups: int, bps: int,
+):
+    rows_g = block // groups
+    for r in range(bps):
+        sl = slice(r * block, (r + 1) * block)
+        tm = rays_ref[sl, 6:7]
+
+        def init_accs(tM):
+            acc_t[:, :] = tM
+            acc_tri[:, :] = jnp.full_like(tM, -1).astype(_I32)
+
+        def visit_member(oc, dc, rows, rsl, cid):
+            det, up, vp, tp = _mt_block(oc, dc, rows)
+            nt, ntri = _mt_epilogue_lean(
+                det, up, vp, tp, tm[rsl], acc_t[rsl, :], acc_tri[rsl, :],
+                cid, c,
+            )
+            acc_t[rsl, :] = nt
+            acc_tri[rsl, :] = ntri
+
+        def gmax_of_accs(tM, dlen, as_tcur=False):
+            if as_tcur:
+                return acc_t[:, :]
+            vals = jnp.minimum(acc_t[:, :] * dlen, _BIG)
+            return tuple(
+                jnp.max(vals[g * rows_g : (g + 1) * rows_g, :])
+                for g in range(groups)
+            )
+
+        _hier_kernel_body(
+            ids_ref, keys_ref, lo_ref, hi_ref, cnt_ref, erow_ref, exf_ref,
+            rays_ref, xf_ref, csph_ref, rows_hbm, rbuf, sem,
+            c=c, n2=n2, block=block, groups=groups, init_accs=init_accs,
+            visit_member=visit_member, gmax_of_accs=gmax_of_accs, r=r,
+        )
+        t_ref[sl, :] = acc_t[:, :]
+        tri_ref[sl, :] = acc_tri[:, :]
+
+
+def _any_kernel_hier(
+    ids_ref, keys_ref, lo_ref, hi_ref, cnt_ref, erow_ref, exf_ref, rays_ref,
+    xf_ref, csph_ref, rows_hbm, occ_ref, rbuf, sem, acc_occ,
+    *, c: int, n2: int, block: int, groups: int, bps: int,
+):
+    rows_g = block // groups
+    for r in range(bps):
+        sl = slice(r * block, (r + 1) * block)
+        tm = rays_ref[sl, 6:7]
+        tM = rays_ref[sl, 7:8]
+
+        def init_accs(_tM):
+            acc_occ[:, :] = jnp.zeros((block, 1), _I32)
+
+        def visit_member(oc, dc, rows, rsl, cid):
+            det, up, vp, tp = _mt_block(oc, dc, rows)
+            sgn = jnp.where(det >= 0.0, 1.0, -1.0).astype(_F32)
+            ad = det * sgn
+            us = up * sgn
+            vs = vp * sgn
+            ts = tp * sgn
+            pos = ad > 0.0
+            invd = jnp.where(pos, 1.0 / jnp.where(pos, ad, 1.0), 0.0)
+            t = ts * invd
+            hitm = (
+                pos & (us >= 0.0) & (vs >= 0.0) & (us + vs <= ad)
+                & (t > tm[rsl]) & (t < tM[rsl])
+            )
+            anyh = jnp.any(hitm, axis=1, keepdims=True)
+            acc_occ[rsl, :] = acc_occ[rsl, :] | anyh.astype(_I32)
+
+        def gmax_of_accs(tM_, dlen, as_tcur=False):
+            # occluded rays stop constraining the walk / re-cull immediately
+            rem = jnp.where(acc_occ[:, :] > 0, tm, tM_)
+            if as_tcur:
+                return rem
+            vals = jnp.minimum(jnp.maximum(rem, 0.0) * dlen, _BIG)
+            return tuple(
+                jnp.max(vals[g * rows_g : (g + 1) * rows_g, :])
+                for g in range(groups)
+            )
+
+        _hier_kernel_body(
+            ids_ref, keys_ref, lo_ref, hi_ref, cnt_ref, erow_ref, exf_ref,
+            rays_ref, xf_ref, csph_ref, rows_hbm, rbuf, sem,
+            c=c, n2=n2, block=block, groups=groups, init_accs=init_accs,
+            visit_member=visit_member, gmax_of_accs=gmax_of_accs, r=r,
+        )
+        occ_ref[sl, :] = acc_occ[:, :]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block", "interpret", "cluster_size", "groups")
+)
+def _closest_pallas_hier(
+    rows, xf_inv, csph, erow2, exf2, ids, keys, lo, hi, count, rays8,
+    *, block: int, interpret: bool, cluster_size: int, groups: int,
+):
+    n2 = ids.shape[1]
+    c = cluster_size
+    nr = rays8.shape[0] // block
+    n8 = rays8.shape[0]
+    e8 = erow2.shape[1]
+    # 8 ray blocks per grid step on hardware (amortizes per-step pipeline
+    # overhead); 1 in interpret mode, where the 8x unroll only multiplies
+    # the traced-graph size (tests dominated by tracing otherwise)
+    bps = 1 if interpret else 8
+    kernel = functools.partial(
+        _closest_kernel_hier, c=c, n2=n2, block=block, groups=groups, bps=bps
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(nr // bps,),
+        in_specs=[
+            pl.BlockSpec((bps, n2), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((bps, n2), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((bps, n2), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((bps, n2), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((bps, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, e8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, e8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((bps * block, 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # xf table (I, 16)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # csph (N2, 8, 64)
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bps * block, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bps * block, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n8, 1), _F32),
+            jax.ShapeDtypeStruct((n8, 1), _I32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((_RING2, NODE, STORE_ROWS, SUPER * c), _F32),
+            pltpu.SemaphoreType.DMA((_RING2, NODE)),
+            pltpu.VMEM((block, 1), _F32),
+            pltpu.VMEM((block, 1), _I32),
+        ],
+        interpret=interpret,
+    )(ids, keys, lo, hi, count, erow2, exf2, rays8, xf_inv, csph, rows)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block", "interpret", "cluster_size", "groups")
+)
+def _any_pallas_hier(
+    rows, xf_inv, csph, erow2, exf2, ids, keys, lo, hi, count, rays8,
+    *, block: int, interpret: bool, cluster_size: int, groups: int,
+):
+    n2 = ids.shape[1]
+    c = cluster_size
+    nr = rays8.shape[0] // block
+    n8 = rays8.shape[0]
+    e8 = erow2.shape[1]
+    bps = 1 if interpret else 8  # see _closest_pallas_hier
+    kernel = functools.partial(
+        _any_kernel_hier, c=c, n2=n2, block=block, groups=groups, bps=bps
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(nr // bps,),
+        in_specs=[
+            pl.BlockSpec((bps, n2), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((bps, n2), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((bps, n2), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((bps, n2), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((bps, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, e8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, e8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((bps * block, 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bps * block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n8, 1), _I32),
+        scratch_shapes=[
+            pltpu.VMEM((_RING2, NODE, STORE_ROWS, SUPER * c), _F32),
+            pltpu.SemaphoreType.DMA((_RING2, NODE)),
+            pltpu.VMEM((block, 1), _I32),
+        ],
+        interpret=interpret,
+    )(ids, keys, lo, hi, count, erow2, exf2, rays8, xf_inv, csph, rows)
+
+
+def closest_hit_cluster_hier(
+    cs: ClusterSet,
+    o: Vec3,
+    d: Vec3,
+    t_min: Array | float = 0.001,
+    t_max: Array | float = 1e16,
+    block: int = DEFAULT_BLOCK,
+    interpret: bool | None = None,
+    groups: int | None = None,
+) -> HitRecord:
+    """Exact closest-hit, hierarchical (node) cluster backend."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    interpret = bool(interpret)
+    n = o.x.shape[0]
+    node_sph_t, csph, erow2, exf2 = _node_tables(
+        cs.super_spheres, cs.spheres, cs.entry_row, cs.entry_xf)
+    cull = block_cull_nodes(
+        cs, node_sph_t, o, d, t_min, t_max, block,
+        pallas_cull=(False if interpret else None),
+    )
+    t, tri = _closest_pallas_hier(
+        cs.rows, cs.xf_inv, csph, erow2, exf2, cull.ids, cull.keys,
+        cull.bits_lo, cull.bits_hi, cull.count, cull.rays8,
+        block=block, interpret=interpret, cluster_size=cs.cluster_size,
+        groups=groups or (1 if interpret else SWEEP_GROUPS),
+    )
+    t = t[:n, 0]
+    tri = tri[:n, 0]
+    miss = tri < 0
+    u, v = _recover_uv(cs, o, d, tri, miss)
+    if cs.tri_map is not None:
+        tri = cs.tri_map[jnp.maximum(tri, 0)]
+    return HitRecord(
+        t=jnp.where(miss, jnp.float32(BIG_T), t),
+        tri=jnp.where(miss, -1, tri),
+        u=u,
+        v=v,
+    )
+
+
+def any_hit_cluster_hier(
+    cs: ClusterSet,
+    o: Vec3,
+    d: Vec3,
+    t_min: Array | float = 0.01,
+    t_max: Array | float = 1e16,
+    block: int = DEFAULT_BLOCK,
+    interpret: bool | None = None,
+    groups: int | None = None,
+) -> tuple[Array, Array]:
+    """Occlusion query, hierarchical (node) cluster backend."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    interpret = bool(interpret)
+    n = o.x.shape[0]
+    node_sph_t, csph, erow2, exf2 = _node_tables(
+        cs.super_spheres, cs.spheres, cs.entry_row, cs.entry_xf)
+    cull = block_cull_nodes(
+        cs, node_sph_t, o, d, t_min, t_max, block,
+        pallas_cull=(False if interpret else None),
+    )
+    occ = _any_pallas_hier(
+        cs.rows, cs.xf_inv, csph, erow2, exf2, cull.ids, cull.keys,
+        cull.bits_lo, cull.bits_hi, cull.count, cull.rays8,
+        block=block, interpret=interpret, cluster_size=cs.cluster_size,
         groups=groups or (1 if interpret else SWEEP_GROUPS),
     )
     return occ[:n, 0] > 0, jnp.zeros((), _F32)

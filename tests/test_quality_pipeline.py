@@ -31,6 +31,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from golden_scenes import _cam, _open_scene, _sky_probe
 from optixpathtracer_tpu.builder import compile_scene
@@ -116,3 +117,76 @@ def test_denoise_stage_improves_adaptive_sobol_render():
     assert abs(m_dn - m_raw) < 0.1 * m_raw, (m_dn, m_raw)
 
     assert np.isfinite(dn).all()
+
+
+@pytest.mark.slow
+def test_equal_budget_pipeline_beats_uniform_medium_res():
+    """ADVICE r4: the >=3x bench headline's DIRECTION verified off-TPU at a
+    resolution where the A-Trous kernel support is a small fraction of the
+    frame (160x120): at an equal sample budget the composed pipeline's
+    sqrt-space RMSE must beat uniform PT's. (The magnitude of the win stays
+    a bench-scale, driver-verified claim.)"""
+    mw, mh = 160, 120
+    hs = _open_scene()
+    cs = compile_scene(hs)
+    probe = _sky_probe()
+    cfg = RenderConfig(width=mw, height=mh, samples_per_launch=2,
+                       max_depth=3, clamp_radiance=1e30)
+    cam = _cam((3, 2, 4), (0, 0.4, 0))
+    cam.aspect_ratio = mw / mh
+
+    # converged reference: 96-spp uniform accumulation
+    ref = Renderer(cs, probe,
+                   dataclasses.replace(cfg, samples_per_launch=8), cam)
+    for _ in range(12):
+        ref.render(download=False)
+    ref_img = np.sqrt(np.clip(ref.accum_image(), 0, None))
+
+    # uniform at a 6-spp budget
+    uni = Renderer(cs, probe, cfg, cam)
+    for _ in range(3):
+        uni.render(download=False)
+    uni_img = uni.accum_image()
+
+    # pipeline at the same mean budget: warmup 2 + 2 refine rounds of
+    # refine_spp 4 over a 0.25 fraction => mean spp = 2 + 2*4*0.25 = 4 < 6
+    # (the pipeline gets FEWER samples and must still win)
+    gw, gh = mw, mh
+
+    ar = AdaptiveRenderer(cs, probe,
+                          dataclasses.replace(cfg, sampling="sobol"), cam,
+                          warmup_spp=2, refine_spp=4, refine_fraction=0.25)
+    for _ in range(3):
+        ar.render()
+    mean_spp = float(np.asarray(ar.count, np.float32).sum()) / (gw * gh)
+    assert mean_spp <= 6.0 + 1e-3, mean_spp
+
+    yx_np = np.asarray(ar._py) * gw + np.asarray(ar._px)
+    yx = jnp.asarray(np.where(np.asarray(ar._valid), yx_np, gw * gh))
+    nf1 = jnp.maximum(ar.count.astype(jnp.float32), 1.0)
+    nf = nf1[:, None]
+
+    def img(v):
+        rows = jnp.stack([v.x, v.y, v.z], -1) / nf
+        buf = jnp.zeros((gw * gh + 1, 3), jnp.float32).at[yx].set(
+            rows, mode="promise_in_bounds")
+        return buf[: gw * gh].reshape(gh, gw, 3)
+
+    mean_l = ar.lum_sum / nf1
+    var = jnp.maximum(ar.lum2_sum / nf1 - mean_l * mean_l, 0.0) / nf1
+    vbuf = jnp.zeros((gw * gh + 1,), jnp.float32).at[yx].set(
+        var, mode="promise_in_bounds")
+    dn = np.asarray(atrous_denoise(
+        img(ar.col_sum), img(ar.nrm_sum), img(ar.alb_sum),
+        sigma_color=4.0, sigma_albedo=1.0,
+        variance=vbuf[: gw * gh].reshape(gh, gw),
+        var_boost=256.0, demodulate=True))
+
+    def rmse(im):
+        return float(np.sqrt(np.mean(
+            (np.sqrt(np.clip(im, 0, None)) - ref_img) ** 2)))
+
+    r_uni, r_dn = rmse(uni_img), rmse(dn)
+    assert r_dn < r_uni, (
+        f"pipeline {r_dn:.5f} (at {mean_spp:.1f} spp) should beat uniform "
+        f"{r_uni:.5f} (at 6 spp)")
