@@ -150,6 +150,17 @@ class RenderConfig:
     #   (their strata decorrelate too fast to pay); sobol covers all depths.
     sampling_strata: int = 64  # strata / blue-noise points per pixel epoch
     #   (stratified mode needs a perfect square)
+    russian_roulette: bool = False  # throughput-proportional Russian-roulette
+    #   path termination after rr_start_depth bounces: survive with
+    #   p = clamp(luminance(throughput), rr_min_prob, 1), scale throughput by
+    #   1/p — the classic unbiased deep-path killer NEITHER the reference NOR
+    #   rounds 1-4 had (the reference bounce loop always runs to max depth,
+    #   deviceProgram.cu:412-443). Killed rays sort to dead blocks under
+    #   sort_rays, so the depth-3/4 sweeps (the majority of frame time,
+    #   PERF_NOTES.md decomposition) shrink with the surviving population.
+    #   Off by default for reference parity.
+    rr_start_depth: int = 2  # first bounce depth at which roulette applies
+    rr_min_prob: float = 0.05  # survival-probability floor (variance guard)
     sort_rays: bool = False  # reorder the path wavefront by a spatial
     #   coherence key (dead-bit | origin Morton cell | direction octant |
     #   direction fine bits) before every bounce's traversal. The cluster
@@ -1121,12 +1132,25 @@ def trace_wavefront(
             bsdf_dead = shaded & (res.pdf <= 0.0)
             cont = shaded & ~bsdf_dead
 
+            rr_kill = jnp.zeros_like(cont)
+            if cfg.russian_roulette:
+                # unbiased roulette on the CONTINUATION throughput: E[tp/p] =
+                # tp; the draw is taken unconditionally so the RNG stream
+                # stays lane-uniform (dead lanes just discard it)
+                state, u_rr = randf(state)
+                p_surv = jnp.clip(luminance(new_tp), cfg.rr_min_prob, 1.0)
+                do_rr = cont & (depth >= cfg.rr_start_depth)
+                rr_kill = do_rr & (u_rr >= p_surv)
+                boost = jnp.where(do_rr & ~rr_kill, 1.0 / p_surv, 1.0)
+                new_tp = new_tp * boost
+                cont = cont & ~rr_kill
+
             # shadow-catcher passthrough: continue straight through (:503-508)
             new_o = where(catcher_pass, p_hit, where(cont, p_hit, path["o"]))
             new_d = where(cont, res.light, path["d"])  # passthrough keeps d
             throughput = where(cont, new_tp, path["throughput"])
             eta = jnp.where(cont, new_eta, path["eta"])
-            done = path["done"] | (active & ~rec.hit) | bsdf_dead
+            done = path["done"] | (active & ~rec.hit) | bsdf_dead | rr_kill
             secondary = path["secondary"] | cont
 
             shadow_count = (
