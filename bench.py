@@ -594,6 +594,143 @@ def quality_track(cs, probe, on_cpu, max_launches=128, ref_path=None):
     return out
 
 
+def fovea4k_track(cs, probe, max_frames=16):
+    """The reference's PUBLISHED configuration as a quality-normalized row
+    (VERDICT r4 item 2): 3840x2160, 3-zone foveation with the sv4 radii
+    157/515 and zone spp 1/2/8 (sv4 SimplePathtracer.cpp:20-21,135-215,
+    main.cpp:256; its deliverable is 41 fps at this config,
+    final_fps.dat) — here run progressively under a static central gaze
+    with the full quality stack composed: Owen-scrambled Sobol sampling +
+    Russian-roulette path termination + a color-guided A-Trous denoise of
+    the fovea crop (checked both raw and denoised; cost counted).
+
+    Reports seconds to fovea-disc sqrt-RMSE <= 0.03 against the committed
+    2048-spp disc reference (tools/make_reference_4k.py), plus the
+    full-frame companion (VERDICT r4 weak #7): the whole foveated frame's
+    RMSE at quarter resolution — exactly the information content of the
+    factor-4 periphery splat — against the committed 4096-effective-spp
+    quarter-res reference."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from optixpathtracer_tpu.core.camera import Camera
+    from optixpathtracer_tpu.engine.foveated import (
+        FoveatedRenderer,
+        FoveationConfig,
+    )
+    from optixpathtracer_tpu.engine.wavefront import RenderConfig
+    from optixpathtracer_tpu.ops.denoise import atrous_denoise
+
+    sdir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "scenes")
+    fov_ref = os.path.join(sdir, "ref_city_4k_fovea.npz")
+    q_ref = os.path.join(sdir, "ref_city_4k_q.npz")
+    missing = [p for p in (fov_ref, q_ref) if not os.path.exists(p)]
+    if missing:
+        msg = (f"missing committed 4K reference artifact(s) {missing} "
+               "(regenerate with tools/make_reference_4k.py)")
+        print(f"BENCH ERROR: {msg}", file=sys.stderr, flush=True)
+        return [{"metric": "seconds to fovea-disc RMSE<=0.03 @3840x2160",
+                 "value": 0.0, "unit": "s", "vs_baseline": 0.0,
+                 "error": msg}]
+
+    fd = np.load(fov_ref)
+    qd = np.load(q_ref)
+    w, h = int(fd["width"]), int(fd["height"])
+    cx, cy = (int(v) for v in fd["gaze"])  # buffer coords, bottom-first y
+    disc_r = int(fd["disc_r"])
+    idx = fd["idx"].astype(np.int64)
+    ref_disc = jnp.asarray(np.sqrt(np.clip(
+        fd["image"].astype(np.float32), 0, None)))
+    ref_q = jnp.asarray(np.sqrt(np.clip(
+        qd["image"].astype(np.float32), 0, None)))
+    target = 0.03
+
+    cam = Camera(eye=(55.0, 18.0, 55.0), lookat=(0.0, 2.0, 0.0), up=(0, 1, 0),
+                 fov_y=45, aspect_ratio=w / h)
+    cfg = RenderConfig(
+        width=w, height=h, samples_per_launch=1, max_depth=4,
+        traversal="cluster", dispatch_tiles=1, sort_rays=True,
+        nee_final_bounce=False, batch_spp=True, sampling="sobol",
+        russian_roulette=True,
+    )
+    fov = FoveationConfig(inner_radius=157, outer_radius=515,
+                          progressive=True)
+    fr = FoveatedRenderer(cs, probe, cfg, cam, fov)
+    # set_gaze takes IMAGE coords (top-first y); the reference disc center
+    # is in buffer coords — invert the flip so splat center == disc center
+    fr.set_gaze(cx, h - 1 - cy)
+
+    idxj = jnp.asarray(idx)
+    # fovea crop (384x384 around the gaze) for the denoise pass; the disc
+    # (r=157) sits fully inside
+    half = 192
+    r0, c0 = cy - half, cx - half
+    disc_rows = jnp.asarray(idx // w - r0)
+    disc_cols = jnp.asarray(idx % w - c0)
+
+    @jax.jit
+    def rmses(accum):
+        img = jnp.stack([accum.x, accum.y, accum.z], -1)  # (W*H, 3)
+        disc = jnp.sqrt(jnp.clip(img[idxj], 0, None))
+        raw = jnp.sqrt(jnp.mean((disc - ref_disc) ** 2))
+        crop = img.reshape(h, w, 3)[r0:r0 + 2 * half, c0:c0 + 2 * half]
+        dn = atrous_denoise(
+            crop, jnp.zeros_like(crop), jnp.ones_like(crop),
+            sigma_color=1.0)
+        dn_disc = jnp.sqrt(jnp.clip(dn[disc_rows, disc_cols], 0, None))
+        den = jnp.sqrt(jnp.mean((dn_disc - ref_disc) ** 2))
+        return raw, den
+
+    @jax.jit
+    def companion(accum):
+        img = jnp.stack([accum.x, accum.y, accum.z], -1).reshape(h, w, 3)
+        q = img.reshape(540, 4, 960, 4, 3).mean(axis=(1, 3))
+        return jnp.sqrt(jnp.mean(
+            (jnp.sqrt(jnp.clip(q, 0, None)) - ref_q) ** 2))
+
+    # compile pass (renders a frame + both rmse programs), then time fresh
+    fr.render()
+    float(rmses(fr.accum)[0])
+    float(companion(fr.accum))
+    from optixpathtracer_tpu.core.math import Vec3
+    fr.accum = Vec3.zeros((w * h,))
+    fr.subframe_index = 0
+
+    t = 0.0
+    secs = spp = None
+    raw = den = float("inf")
+    used = "raw"
+    for i in range(max_frames):
+        t0 = time.perf_counter()
+        fr.render()
+        raw_j, den_j = rmses(fr.accum)
+        raw, den = float(raw_j), float(den_j)  # device sync
+        t += time.perf_counter() - t0
+        if min(raw, den) <= target:
+            secs = t
+            spp = (i + 1) * fov.fovea_spp
+            used = "denoised" if den < raw else "raw"
+            break
+    comp = float(companion(fr.accum))
+    return [{
+        "metric": "seconds to fovea-disc RMSE<=0.03 @3840x2160 "
+                  "(3-zone foveation r157/515, sobol+RR+denoised-fovea)",
+        "value": round(secs, 2) if secs is not None else 0.0,
+        "unit": "s",
+        "reached": secs is not None,
+        "final_rmse_raw": round(raw, 5),
+        "final_rmse_denoised": round(den, 5),
+        "gate_variant": used,
+        "fovea_spp": spp,
+        "ref_spp": int(fd["spp"]),
+        "companion_fullframe_rmse_q": round(comp, 5),
+        "companion_ref_effective_spp": int(qd["effective_spp"]),
+        "reference_fps_at_this_config": 41.0,  # final_fps.dat col 2
+    }]
+
+
 def demand_textures_line(on_cpu):
     """One driver-verifiable line composing demand-loaded sparse textures
     with the cluster traversal backend at bench scale (VERDICT r3 item 10):
@@ -1022,6 +1159,18 @@ def main():
                 "metric": "per-config lines", "value": 0.0, "unit": "fps",
                 "vs_baseline": 0.0, "error": str(e)[:200],
             }), flush=True)
+        # the reference's published 4K foveated config, quality-normalized
+        # (VERDICT r4 item 2); --no-4k skips it explicitly
+        if "--no-4k" not in sys.argv:
+            try:
+                for rec in fovea4k_track(cs, probe):
+                    print(json.dumps(rec), flush=True)
+            except Exception as e:
+                print(json.dumps({
+                    "metric": "seconds to fovea-disc RMSE<=0.03 @3840x2160",
+                    "value": 0.0, "unit": "s", "vs_baseline": 0.0,
+                    "error": str(e)[:200],
+                }), flush=True)
     print(
         json.dumps(
             {
