@@ -731,6 +731,116 @@ def fovea4k_track(cs, probe, max_frames=16):
     }]
 
 
+def interactive_line(cs, probe, frames=16, record_path=None):
+    """A live interactive foveated session at 640x480 (VERDICT r4 item 3):
+    the viewer render loop driven headlessly by a scripted circular gaze
+    path (the reference's gaze is the live mouse cursor, sv4
+    main.cpp:310-314) with the composed pipeline — fused 3-zone foveation
+    (sv4 radii scaled to 480p), Owen-scrambled Sobol sampling, Russian
+    roulette, fovea spp 4 + a per-frame color-guided A-Trous denoise of the
+    fovea crop as the display step (denoised zones need fewer spp than
+    sv4's 8).
+
+    Per-frame rows use the reference's own TSV columns (sv3
+    main.cpp:348-383 data_save.dat: i, stateUpdate, render, display,
+    cursorX, cursorY) + rays; record_path writes them
+    (tools/interactive_session.py commits the artifact). Display is the
+    on-device tonemap + fovea denoise sync — the reference's display is
+    likewise a zero-copy GL blit, and the MJPEG viewer streams at its own
+    cadence (host transfers through the TPU tunnel are ~0.3 MB/s and would
+    measure the tunnel, not the renderer)."""
+    import math
+
+    import jax
+    import jax.numpy as jnp
+
+    from optixpathtracer_tpu.core.camera import Camera
+    from optixpathtracer_tpu.engine.foveated import (
+        FoveatedRenderer,
+        FoveationConfig,
+    )
+    from optixpathtracer_tpu.engine.wavefront import RenderConfig
+    from optixpathtracer_tpu.ops import tonemap
+    from optixpathtracer_tpu.ops.denoise import atrous_denoise
+
+    w, h = 640, 480
+    cam = Camera(eye=(55.0, 18.0, 55.0), lookat=(0.0, 2.0, 0.0), up=(0, 1, 0),
+                 fov_y=45, aspect_ratio=w / h)
+    cfg = RenderConfig(
+        width=w, height=h, samples_per_launch=1, max_depth=4,
+        traversal="cluster", dispatch_tiles=1, sort_rays=True,
+        nee_final_bounce=False, sampling="sobol", russian_roulette=True,
+    )
+    inner = max(8, 157 * h // 2160)
+    fov = FoveationConfig(
+        inner_radius=inner,
+        outer_radius=max(24, 515 * h // 2160),
+        fovea_spp=4,  # denoised display needs fewer samples than sv4's 8
+    )
+    fr = FoveatedRenderer(cs, probe, cfg, cam, fov, fused=True)
+    half = min(inner + 7, 64)
+
+    @jax.jit
+    def display(accum, gaze):
+        # tonemapped frame + denoised fovea crop, all on device
+        disp = tonemap.finalize(accum, mode=tonemap.TONEMAP_REINHARD,
+                                exposure_stops=2.0)
+        img = jnp.stack([disp.x, disp.y, disp.z], -1).reshape(h, w, 3)
+        crop = jax.lax.dynamic_slice(
+            img, (gaze[1] - half, gaze[0] - half, 0),
+            (2 * half, 2 * half, 3))
+        dn = atrous_denoise(crop, jnp.zeros_like(crop), jnp.ones_like(crop),
+                            iterations=3, sigma_color=1.0)
+        img = jax.lax.dynamic_update_slice(
+            img, dn, (gaze[1] - half, gaze[0] - half, 0))
+        return tonemap.pack_rgba8(
+            type(accum)(img[:, :, 0].ravel(), img[:, :, 1].ravel(),
+                        img[:, :, 2].ravel()))
+
+    rows = []
+    fps_list = []
+    margin = half + 2
+    fr.render()  # compile
+    _ = np.asarray(jax.block_until_ready(display(
+        fr.accum, jnp.array([w // 2, h // 2], jnp.int32))))[:4]
+    for i in range(frames):
+        t0 = time.perf_counter()
+        ang = 2 * math.pi * i / max(frames, 1)
+        gx = int(w / 2 + 0.22 * w * math.cos(ang))
+        gy = int(h / 2 + 0.22 * h * math.sin(ang))
+        gx = min(max(gx, margin), w - 1 - margin)
+        gy = min(max(gy, margin), h - 1 - margin)
+        fr.set_gaze(gx, gy)
+        t1 = time.perf_counter()
+        fr.render()
+        t2 = time.perf_counter()
+        gz = jnp.array([gx, h - 1 - gy], jnp.int32)  # buffer coords
+        jax.block_until_ready(display(fr.accum, gz))
+        t3 = time.perf_counter()
+        rows.append((i, t1 - t0, t2 - t1, t3 - t2, gx, gy, fr.last_rays))
+        fps_list.append(1.0 / (t3 - t1))
+    if record_path:
+        os.makedirs(os.path.dirname(record_path), exist_ok=True)
+        with open(record_path, "w") as f:
+            f.write("i\tstateUpdate\trender\tdisplay\tcursorX\tcursorY\trays\n")
+            for r_ in rows:
+                f.write("\t".join(str(x) for x in r_) + "\n")
+    steady = fps_list[1:] if len(fps_list) > 1 else fps_list
+    fps = float(np.mean(steady))
+    return {
+        "metric": "interactive foveated fps @640x480 (fused 3-zone, "
+                  "scripted gaze orbit, sobol+RR+denoised fovea display)",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / 2.0, 3),  # VERDICT r4 item 3: >=2 fps
+        "frames": frames,
+        "render_ms_mean": round(1e3 * float(np.mean(
+            [r_[2] for r_ in rows[1:]])), 1),
+        "display_ms_mean": round(1e3 * float(np.mean(
+            [r_[3] for r_ in rows[1:]])), 1),
+    }
+
+
 def demand_textures_line(on_cpu):
     """One driver-verifiable line composing demand-loaded sparse textures
     with the cluster traversal backend at bench scale (VERDICT r3 item 10):
@@ -1158,6 +1268,14 @@ def main():
             print(json.dumps({
                 "metric": "per-config lines", "value": 0.0, "unit": "fps",
                 "vs_baseline": 0.0, "error": str(e)[:200],
+            }), flush=True)
+        # live interactive foveated session, scripted gaze (VERDICT r4 #3)
+        try:
+            print(json.dumps(interactive_line(cs, probe)), flush=True)
+        except Exception as e:
+            print(json.dumps({
+                "metric": "interactive foveated fps @640x480", "value": 0.0,
+                "unit": "fps", "vs_baseline": 0.0, "error": str(e)[:200],
             }), flush=True)
         # the reference's published 4K foveated config, quality-normalized
         # (VERDICT r4 item 2); --no-4k skips it explicitly
