@@ -160,6 +160,8 @@ def cmd_render(args: argparse.Namespace) -> int:
             fused=cfg.fused_foveation, traversal=cfg.traversal,
             emission_all_bounces=cfg.emission_all_bounces,
             nee_final_bounce=cfg.nee_final_bounce, nee_rr=cfg.nee_rr,
+            russian_roulette=cfg.russian_roulette,
+            rr_start_depth=cfg.rr_start_depth,
             sampling=cfg.sampling, sampling_strata=cfg.sampling_strata,
         )
         gx, gy = cfg.gaze
@@ -181,6 +183,8 @@ def cmd_render(args: argparse.Namespace) -> int:
             refine_fraction=cfg.adaptive_fraction, traversal=cfg.traversal,
             emission_all_bounces=cfg.emission_all_bounces,
             nee_final_bounce=cfg.nee_final_bounce, nee_rr=cfg.nee_rr,
+            russian_roulette=cfg.russian_roulette,
+            rr_start_depth=cfg.rr_start_depth,
             sampling=cfg.sampling, sampling_strata=cfg.sampling_strata,
         )
         for _ in range(cfg.frames):
@@ -230,6 +234,8 @@ def cmd_render(args: argparse.Namespace) -> int:
         traversal=cfg.traversal, dispatch_tiles=tiles,
         emission_all_bounces=cfg.emission_all_bounces,
         nee_final_bounce=cfg.nee_final_bounce, nee_rr=cfg.nee_rr,
+            russian_roulette=cfg.russian_roulette,
+            rr_start_depth=cfg.rr_start_depth,
         sampling=cfg.sampling, sampling_strata=cfg.sampling_strata,
         demand=demand,
     )
@@ -299,6 +305,8 @@ def cmd_view(args: argparse.Namespace) -> int:
             fused=cfg.fused_foveation, traversal=cfg.traversal,
             emission_all_bounces=cfg.emission_all_bounces,
             nee_final_bounce=cfg.nee_final_bounce, nee_rr=cfg.nee_rr,
+            russian_roulette=cfg.russian_roulette,
+            rr_start_depth=cfg.rr_start_depth,
             sampling=cfg.sampling, sampling_strata=cfg.sampling_strata,
         )
     else:

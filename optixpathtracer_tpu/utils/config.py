@@ -47,6 +47,10 @@ class RunConfig:
     #   NEE shadow sweep (the reference traces it then discards the result)
     nee_rr: float = 0.0  # unbiased Russian-roulette shadow-ray scheduling
     #   threshold (0 = always trace, reference behavior)
+    russian_roulette: bool = False  # throughput-proportional Russian-roulette
+    #   PATH termination after rr_start_depth bounces (unbiased; off for
+    #   reference parity — its bounce loop always runs to max depth)
+    rr_start_depth: int = 2
     sampling: str = "random"  # per-sample uniform strategy for the variance-
     #   dominant draws: "random" | "stratified" | "blue" | "sobol" (the
     #   reference's sample.h Sample2D strategy switch, live at runtime;
@@ -87,6 +91,8 @@ class RunConfig:
             emission_all_bounces=self.emission_all_bounces,
             nee_final_bounce=self.nee_final_bounce,
             nee_rr=self.nee_rr,
+            russian_roulette=self.russian_roulette,
+            rr_start_depth=self.rr_start_depth,
             sampling=self.sampling,
             sampling_strata=self.sampling_strata,
             **overrides,
@@ -133,6 +139,15 @@ def add_config_args(parser: argparse.ArgumentParser) -> None:
         "--nee-rr", type=float, default=None, dest="nee_rr",
         help="unbiased Russian-roulette shadow-ray scheduling threshold "
              "(potential-contribution luminance; 0 = always trace)")
+    parser.add_argument(
+        "--russian-roulette", action="store_true", default=None,
+        dest="russian_roulette",
+        help="throughput-proportional Russian-roulette path termination "
+             "after --rr-start-depth bounces (unbiased; kills most deep "
+             "paths on dark scenes)")
+    parser.add_argument(
+        "--rr-start-depth", type=int, default=None, dest="rr_start_depth",
+        metavar="D", help="first bounce depth roulette applies to (default 2)")
     parser.add_argument(
         "--sampling", default=None,
         choices=["random", "stratified", "blue", "sobol"],
@@ -189,7 +204,8 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
             cfg = RunConfig.from_json(f.read())
     for field in ("model", "scene", "probe", "out", "frames", "width", "height",
                   "spp", "max_depth", "traversal", "emission_all_bounces",
-                  "nee_final_bounce", "nee_rr", "sampling", "sampling_strata",
+                  "nee_final_bounce", "nee_rr", "russian_roulette",
+                  "rr_start_depth", "sampling", "sampling_strata",
                   "fused_foveation",
                   "demand_textures", "instanced", "adaptive",
                   "adaptive_fraction",
