@@ -1128,14 +1128,18 @@ def _pack_group_bits(hit, groups: int):
     b = hit.shape[0]
     rows_g = b // groups
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, hit.shape[1]), 1)
-    sh = jnp.uint32(1) << (iota % 32).astype(jnp.uint32)
-    w_lo = jnp.where(iota < 32, sh, jnp.uint32(0))
-    w_hi = jnp.where(iota >= 32, sh, jnp.uint32(0))
+    # int32 arithmetic throughout — Mosaic has no unsigned reductions; the
+    # two's-complement wraparound preserves the 32-bit pattern (weights are
+    # distinct powers of two), and every consumer masks after shifting, so
+    # arithmetic shift-right sign fill is harmless
+    sh = jnp.left_shift(jnp.int32(1), iota % 32)
+    w_lo = jnp.where(iota < 32, sh, jnp.int32(0))
+    w_hi = jnp.where(iota >= 32, sh, jnp.int32(0))
     out = []
     for g in range(groups):
         anyg = jnp.any(hit[g * rows_g : (g + 1) * rows_g], axis=0,
                        keepdims=True)
-        a = anyg.astype(jnp.uint32)
+        a = anyg.astype(jnp.int32)
         out.append((jnp.sum(a * w_lo), jnp.sum(a * w_hi)))
     return out
 
@@ -1233,9 +1237,9 @@ def _hier_kernel_body(
         for k2 in range(NODE):
             # entry-level gate: any member cluster flagged by any group
             if k2 < 4:
-                egate = (lo_any >> (k2 * 8)) & jnp.uint32(0xFF)
+                egate = (lo_any >> (k2 * 8)) & jnp.int32(0xFF)
             else:
-                egate = (hi_any >> ((k2 - 4) * 8)) & jnp.uint32(0xFF)
+                egate = (hi_any >> ((k2 - 4) * 8)) & jnp.int32(0xFF)
 
             @pl.when(egate != 0)
             def _(k2=k2, slot=slot, nid=nid):
@@ -1377,10 +1381,11 @@ def _closest_pallas_hier(
     nr = rays8.shape[0] // block
     n8 = rays8.shape[0]
     e8 = erow2.shape[1]
-    # 8 ray blocks per grid step on hardware (amortizes per-step pipeline
-    # overhead); 1 in interpret mode, where the 8x unroll only multiplies
-    # the traced-graph size (tests dominated by tracing otherwise)
-    bps = 1 if interpret else 8
+    # ray blocks per grid step: 1 everywhere — the hier walk's per-visit
+    # work (a whole node) is ~8x a flat super visit, so the per-step
+    # pipeline overhead amortizes without unrolling, and larger unrolls
+    # multiply kernel branch count (compile time) and interpret-trace size
+    bps = 1
     kernel = functools.partial(
         _closest_kernel_hier, c=c, n2=n2, block=block, groups=groups, bps=bps
     )
@@ -1436,7 +1441,7 @@ def _any_pallas_hier(
     nr = rays8.shape[0] // block
     n8 = rays8.shape[0]
     e8 = erow2.shape[1]
-    bps = 1 if interpret else 8  # see _closest_pallas_hier
+    bps = 1  # see _closest_pallas_hier
     kernel = functools.partial(
         _any_kernel_hier, c=c, n2=n2, block=block, groups=groups, bps=bps
     )
