@@ -1156,7 +1156,7 @@ def _hier_kernel_body(
     in as callbacks operating on scratch refs."""
     cn = NODE * SUPER  # cluster columns per node
     sl = slice(r * block, (r + 1) * block)
-    count = cnt_ref[r, 0]
+    count = cnt_ref[0, 0, 0]
     o3 = rays_ref[sl, 0:3]
     d3 = rays_ref[sl, 3:6]
     tm = rays_ref[sl, 6:7]
@@ -1167,14 +1167,14 @@ def _hier_kernel_body(
 
     def entry_started(j):
         # Pass-A union over sub-blocks: was entry k2 of node j DMA'd?
-        lo_w = lo_ref[r, j]
-        hi_w = hi_ref[r, j]
+        lo_w = lo_ref[0, 0, j]
+        hi_w = hi_ref[0, 0, j]
         u = (lo_w | (lo_w >> 8) | (lo_w >> 16) | (lo_w >> 24)
              | hi_w | (hi_w >> 8) | (hi_w >> 16) | (hi_w >> 24))
         return u  # bit k2 (0..7) = entry k2 has any sub-block bit
 
     def start_node(j):
-        nid = ids_ref[r, j]
+        nid = ids_ref[0, 0, j]
         slot = jax.lax.rem(j, _RING2)
         u = entry_started(j)
         for k2 in range(NODE):
@@ -1205,7 +1205,7 @@ def _hier_kernel_body(
 
     def cond(carry):
         i, gmax = carry
-        k = keys_ref[r, jnp.minimum(i, n2 - 1)]
+        k = keys_ref[0, 0, jnp.minimum(i, n2 - 1)]
         alive = k <= gmax[0]
         for g in range(1, groups):
             alive = alive | (k <= gmax[g])
@@ -1219,7 +1219,7 @@ def _hier_kernel_body(
             start_node(i + 1)
 
         wait_node(i)
-        nid = ids_ref[r, i]
+        nid = ids_ref[0, 0, i]
         slot = jax.lax.rem(i, _RING2)
         # inline re-cull vs the CURRENT best interval (closest) / remaining
         # reach (any-hit) — strictly fresher than any precomputed bits
@@ -1315,7 +1315,7 @@ def _closest_kernel_hier(
         )
         t_ref[sl, :] = acc_t[:, :]
         tri_ref[sl, :] = acc_tri[:, :]
-        vis_ref[r, 0] = visc[0]
+        vis_ref[0, 0, 0] = visc[0]
 
 
 def _any_kernel_hier(
@@ -1381,42 +1381,51 @@ def _closest_pallas_hier(
     nr = rays8.shape[0] // block
     n8 = rays8.shape[0]
     e8 = erow2.shape[1]
-    # ray blocks per grid step: 1 everywhere — the hier walk's per-visit
-    # work (a whole node) is ~8x a flat super visit, so the per-step
-    # pipeline overhead amortizes without unrolling, and larger unrolls
-    # multiply kernel branch count (compile time) and interpret-trace size
+    # ONE ray block per grid step — the hier walk's per-visit work (a whole
+    # node) is ~8x a flat super visit, so the per-step pipeline overhead
+    # amortizes without the flat kernels' 8x unroll, which at ~250 branches
+    # per block body made Mosaic compile times pathological. The per-block
+    # SMEM tables ride a LEADING grid dimension ((NR, 1, n2) arrays with
+    # (1, 1, n2) blocks) because the TPU lowering requires the last two
+    # block dims be (8, 128)-divisible or full-extent.
     bps = 1
     kernel = functools.partial(
         _closest_kernel_hier, c=c, n2=n2, block=block, groups=groups, bps=bps
     )
-    return pl.pallas_call(
+    t, tri, vis = pl.pallas_call(
         kernel,
-        grid=(nr // bps,),
+        grid=(nr,),
         in_specs=[
-            pl.BlockSpec((bps, n2), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((bps, n2), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((bps, n2), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((bps, n2), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((bps, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, n2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, n2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, n2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, n2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, e8), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, e8), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((bps * block, 8), lambda i: (i, 0),
+            pl.BlockSpec((block, 8), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # xf table (I, 16)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # csph (N2, 8, 64)
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=[
-            pl.BlockSpec((bps * block, 1), lambda i: (i, 0),
+            pl.BlockSpec((block, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bps * block, 1), lambda i: (i, 0),
+            pl.BlockSpec((block, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bps, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n8, 1), _F32),
             jax.ShapeDtypeStruct((n8, 1), _I32),
-            jax.ShapeDtypeStruct((nr, 1), _I32),
+            jax.ShapeDtypeStruct((nr, 1, 1), _I32),
         ],
         scratch_shapes=[
             pltpu.VMEM((_RING2, NODE, STORE_ROWS, SUPER * c), _F32),
@@ -1426,7 +1435,9 @@ def _closest_pallas_hier(
             pltpu.SMEM((1,), _I32),
         ],
         interpret=interpret,
-    )(ids, keys, lo, hi, count, erow2, exf2, rays8, xf_inv, csph, rows)
+    )(ids[:, None, :], keys[:, None, :], lo[:, None, :], hi[:, None, :],
+      count[:, :, None], erow2, exf2, rays8, xf_inv, csph, rows)
+    return t, tri, vis[:, 0, :]
 
 
 @functools.partial(
@@ -1447,23 +1458,28 @@ def _any_pallas_hier(
     )
     return pl.pallas_call(
         kernel,
-        grid=(nr // bps,),
+        grid=(nr,),
         in_specs=[
-            pl.BlockSpec((bps, n2), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((bps, n2), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((bps, n2), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((bps, n2), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((bps, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, n2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, n2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, n2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, n2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, e8), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, e8), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((bps * block, 8), lambda i: (i, 0),
+            pl.BlockSpec((block, 8), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(
-            (bps * block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n8, 1), _I32),
         scratch_shapes=[
@@ -1472,7 +1488,8 @@ def _any_pallas_hier(
             pltpu.VMEM((block, 1), _I32),
         ],
         interpret=interpret,
-    )(ids, keys, lo, hi, count, erow2, exf2, rays8, xf_inv, csph, rows)
+    )(ids[:, None, :], keys[:, None, :], lo[:, None, :], hi[:, None, :],
+      count[:, :, None], erow2, exf2, rays8, xf_inv, csph, rows)
 
 
 def closest_hit_cluster_hier(
