@@ -75,10 +75,22 @@ NODE = 8  # superclusters per node — the third cull level (hier backend).
 #   node's clusters INLINE against the rays' CURRENT [t_min, best_t]
 #   intervals — fresher than any precomputed bits, and the SMEM tables
 #   scale with nodes, not superclusters (the flat formulation's (8, S) x6
-#   SMEM tables are what physically break past ~2M triangles).
-HIER_MIN_ENTRIES = 256  # auto-switch threshold for closest/any_hit_cluster:
-#   scenes with >= this many entries (~0.5M triangles at C=256) take the
-#   hierarchical path; below it the flat path's measured constants win.
+#   SMEM tables crash the compiler past ~2200 entries / 4.5M triangles —
+#   measured at 4239 entries, flat_scale_probe.py).
+HIER_MIN_ENTRIES = 3072  # auto-switch threshold for closest/any_hit_cluster.
+#   Set by measurement (experiments/{hier_probe,flat_scale_probe}.py,
+#   on-chip, scene passed as a jit ARGUMENT so geometry rides as runtime
+#   buffers, not program constants): the flat path compiles and WINS at
+#   every scale that compiles — camera/bounce Mrays/s/sweep flat-vs-hier:
+#   74 entries (150k tris) 3.92/1.10 vs 0.98/0.53; 657 (1.35M) 2.98/0.74
+#   vs 0.91/0.27; 1168 (2.4M) 2.65/0.63 vs 0.90/-; 2192 (4.5M) 2.09/0.54
+#   vs 0.80/0.15 — flat's O(S) cull never collapses (executed pair counts
+#   stay within ~25% of hier's; the slab bits are already sharp) and the
+#   hier walk's serial node loop costs ~3x. At 4239 entries (8.7M tris)
+#   the flat kernel KILLS the compiler (its (8,S)x6 SMEM tables; HTTP 500
+#   tpu_compile_helper crash) while hier compiles in 31 s and sweeps
+#   0.71/0.11 — so hier is the >4.5M-tri extension, not the default.
+#   3072 splits the last-good (2192) and first-broken (4239) flat scales.
 _RING2 = 2  # node-sweep DMA ring depth (one node in flight)
 
 
@@ -845,8 +857,9 @@ def closest_hit_cluster(
     """Exact closest-hit for a ray wavefront (cluster backend).
 
     hier=None auto-selects the hierarchical (node) path for scenes with
-    >= HIER_MIN_ENTRIES entries — the flat path's cull/sort/SMEM all scale
-    with the supercluster count and stop compiling past ~2M triangles."""
+    >= HIER_MIN_ENTRIES entries — the flat path wins everywhere it
+    compiles but its (8,S)-shaped SMEM tables crash the compiler past
+    ~2200 entries / 4.5M triangles (see the HIER_MIN_ENTRIES note)."""
     if hier is None:
         hier = cs.num_entries >= HIER_MIN_ENTRIES
     if hier:
