@@ -218,7 +218,9 @@ class HostScene:
             mid = len(materials)
             materials.append(mesh.material)
             v = np.asarray(mesh.vertices, np.float32)
-            f = np.asarray(mesh.indices, np.int64)
+            # int32 indexing: fancy-gather on int32 avoids a full-size int64
+            # copy per mesh (build-time hot path at multi-Mtri scale)
+            f = np.asarray(mesh.indices, np.int32)
             corners = [v[f[:, k]] for k in range(3)]
             for k in range(3):
                 tri_v[k].append(corners[k])
@@ -229,7 +231,14 @@ class HostScene:
                 has_sn.append(np.ones(len(f), bool))
             else:
                 # geometric normal fallback (04HelloRaytracing deviceProgram.cu:86-91)
-                gn = np.cross(corners[1] - corners[0], corners[2] - corners[0])
+                # manual cross: np.cross allocates ~5 temporaries per call,
+                # measurably slow at Mtri scale
+                e1 = corners[1] - corners[0]
+                e2 = corners[2] - corners[0]
+                gn = np.empty_like(e1)
+                gn[:, 0] = e1[:, 1] * e2[:, 2] - e1[:, 2] * e2[:, 1]
+                gn[:, 1] = e1[:, 2] * e2[:, 0] - e1[:, 0] * e2[:, 2]
+                gn[:, 2] = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]
                 gn /= np.maximum(np.linalg.norm(gn, axis=1, keepdims=True), 1e-20)
                 for k in range(3):
                     tri_n[k].append(gn)
@@ -287,14 +296,14 @@ def device_scene_from_sorted(flat: dict, order: np.ndarray, pad_to: int) -> Scen
     """
 
     def pad3(a: np.ndarray, fill: float) -> np.ndarray:
+        # empty + tail fill (not np.full): halves the write traffic on the
+        # multi-hundred-MB attribute arrays of Mtri scenes
         n = len(order)
-        out = np.full((pad_to,) + a.shape[1:], fill, a.dtype)
-        out[:n] = a[order]
+        out = np.empty((pad_to,) + a.shape[1:], a.dtype)
+        np.take(a, order, axis=0, out=out[:n])
+        if pad_to > n:
+            out[n:] = fill
         return out
-
-    def vec(a: np.ndarray, fill: float = 0.0) -> Vec3:
-        p = pad3(a, fill)
-        return Vec3(jnp.asarray(p[:, 0]), jnp.asarray(p[:, 1]), jnp.asarray(p[:, 2]))
 
     far = 3.0e37
     v = [pad3(flat["v"][k], far) for k in range(3)]
@@ -305,38 +314,50 @@ def device_scene_from_sorted(flat: dict, order: np.ndarray, pad_to: int) -> Scen
     hs = np.zeros(pad_to, bool)
     hs[: len(order)] = flat["has_shading_normal"][order]
 
-    def v3(a):
-        return Vec3(jnp.asarray(a[:, 0]), jnp.asarray(a[:, 1]), jnp.asarray(a[:, 2]))
+    # upload each (pad_to, 3)/(pad_to, 2) attribute ONCE as a contiguous
+    # array and derive both the per-component fields and the packed 32-wide
+    # shade rows ON DEVICE: at 4.5M tris this removes a 576 MB host-side
+    # shade matrix build plus its upload (the single largest cost of the
+    # old path), replacing it with one fused on-device concatenate
+    vj = [jnp.asarray(a) for a in v]
+    nj = [jnp.asarray(a) for a in n]
+    uvj = [jnp.asarray(a) for a in uv]
+    matj = jnp.asarray(mat)
+    hsj = jnp.asarray(hs)
 
-    shade = np.zeros((pad_to, 32), np.float32)
-    shade[:, 0:3] = v[0]
-    shade[:, 3:6] = v[1]
-    shade[:, 6:9] = v[2]
-    shade[:, 9:12] = n[0]
-    shade[:, 12:15] = n[1]
-    shade[:, 15:18] = n[2]
-    shade[:, 18:20] = uv[0]
-    shade[:, 20:22] = uv[1]
-    shade[:, 22:24] = uv[2]
-    shade[:, 24] = mat
-    shade[:, 25] = hs
+    @jax.jit
+    def _unpack(vj, nj, uvj, matj, hsj):
+        shade = jnp.concatenate(
+            vj + nj + uvj + [
+                matj.astype(jnp.float32)[:, None],
+                hsj.astype(jnp.float32)[:, None],
+                jnp.zeros((pad_to, 6), jnp.float32),
+            ], axis=1)
+        comp = [a[:, k] for a in vj + nj for k in range(3)]
+        uvc = [a[:, k] for a in uvj for k in range(2)]
+        return shade, comp, uvc
+
+    shade, comp, uvc = _unpack(vj, nj, uvj, matj, hsj)
+
+    def v3(i):
+        return Vec3(comp[3 * i], comp[3 * i + 1], comp[3 * i + 2])
 
     return SceneData(
-        shade_rows=jnp.asarray(shade),
-        v0=v3(v[0]),
-        v1=v3(v[1]),
-        v2=v3(v[2]),
-        n0=v3(n[0]),
-        n1=v3(n[1]),
-        n2=v3(n[2]),
-        uv0u=jnp.asarray(uv[0][:, 0]),
-        uv0v=jnp.asarray(uv[0][:, 1]),
-        uv1u=jnp.asarray(uv[1][:, 0]),
-        uv1v=jnp.asarray(uv[1][:, 1]),
-        uv2u=jnp.asarray(uv[2][:, 0]),
-        uv2v=jnp.asarray(uv[2][:, 1]),
-        material_id=jnp.asarray(mat),
-        has_shading_normal=jnp.asarray(hs),
+        shade_rows=shade,
+        v0=v3(0),
+        v1=v3(1),
+        v2=v3(2),
+        n0=v3(3),
+        n1=v3(4),
+        n2=v3(5),
+        uv0u=uvc[0],
+        uv0v=uvc[1],
+        uv1u=uvc[2],
+        uv1v=uvc[3],
+        uv2u=uvc[4],
+        uv2v=uvc[5],
+        material_id=matj,
+        has_shading_normal=hsj,
         materials=build_table(flat["materials"]),
         textures=pack_textures(flat["textures"]),
     )
