@@ -862,6 +862,8 @@ def fovea4k_track(cs, probe, max_frames=16):
                   "(3-zone foveation r157/515, sobol+RR+denoised-fovea)",
         "value": round(secs, 2) if secs is not None else 0.0,
         "unit": "s",
+        # VERDICT r4 item 2 target: <=2 s to quality; >=1.0 means met
+        "vs_baseline": round(2.0 / secs, 3) if secs else 0.0,
         "reached": secs is not None,
         "final_rmse_raw": round(raw, 5),
         "final_rmse_denoised": round(den, 5),
