@@ -22,6 +22,20 @@ import itertools
 import numpy as np
 import pytest
 
+import jax
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _no_persistent_cache():
+    """jaxlib segfaults serializing one of this module's slow-tier
+    cross-product executables into the persistent compilation cache
+    (put_executable_and_time, reproduced twice on isolated cache dirs);
+    the compile itself is fine. Skip cache writes for this module only."""
+    prev = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    yield
+    jax.config.update("jax_compilation_cache_dir", prev)
+
 from optixpathtracer_tpu.builder import compile_scene
 from optixpathtracer_tpu.core.camera import Camera
 from optixpathtracer_tpu.core.materials import make_material
