@@ -195,99 +195,107 @@ def render_whitted(
     d0 = normalize(cam.u * dx + cam.v * dy + cam.w * 1.0)
     o0 = Vec3(cam.eye.x + zf, cam.eye.y + zf, cam.eye.z + zf)
 
-    miss = Vec3(
-        jnp.full((n,), cfg.miss_color[0]),
-        jnp.full((n,), cfg.miss_color[1]),
-        jnp.full((n,), cfg.miss_color[2]),
-    )
+    # The ray tree doubles per level (slot k -> reflection k, refraction
+    # k + m). Rather than tracing each branch as its OWN sweep (2^depth - 1
+    # inlined sweeps blow up the TPU compiler at full resolutions and leave
+    # every sweep small), all branches of a level are CONCATENATED into one
+    # batched sweep — program size is O(depth), the sweeps get larger (the
+    # shape the cluster kernels want), and each ray's pixel stays j % n, so
+    # per-level radiance folds back with one reshape-sum.
+    def cat3(a: Vec3, b: Vec3) -> Vec3:
+        return Vec3(jnp.concatenate([a.x, b.x]), jnp.concatenate([a.y, b.y]),
+                    jnp.concatenate([a.z, b.z]))
 
-    # ray set doubles per level: slot 2k = reflection, 2k+1 = refraction
-    os_, ds, tps, etas, alive = [o0], [d0], [Vec3.ones((n,))], [jnp.ones((n,))], [zf < 1.0]
+    def fold(v: Vec3) -> Vec3:  # (k*n,) per-ray -> (n,) per-pixel
+        return Vec3(v.x.reshape(-1, n).sum(0), v.y.reshape(-1, n).sum(0),
+                    v.z.reshape(-1, n).sum(0))
+
+    o, d = o0, d0
+    tp = Vec3.ones((n,))
+    eta = jnp.ones((n,))
+    live = zf < 1.0
     radiance = Vec3.zeros((n,))
 
     for level in range(cfg.max_depth + 1):
-        new_o, new_d, new_tp, new_eta, new_alive = [], [], [], [], []
-        for o, d, tp, eta, live in zip(os_, ds, tps, etas, alive):
-            t_max = jnp.where(live, BIG_T, 0.0)
-            hitrec = _closest(ss, cs, o, d, cfg.t_min, t_max, curves)
-            hit = hitrec.hit & live
-            # miss -> constant radiance (whitted.cu __miss__constant_radiance)
-            radiance = radiance + where(live & ~hitrec.hit, tp * miss, Vec3.zeros((n,)))
+        m = o.x.shape[0]
+        zeros_m = Vec3.zeros((m,))
+        miss = Vec3(jnp.full((m,), cfg.miss_color[0]),
+                    jnp.full((m,), cfg.miss_color[1]),
+                    jnp.full((m,), cfg.miss_color[2]))
+        t_max = jnp.where(live, BIG_T, 0.0)
+        hitrec = _closest(ss, cs, o, d, cfg.t_min, t_max, curves)
+        hit = hitrec.hit & live
+        # miss -> constant radiance (whitted.cu __miss__constant_radiance)
+        radiance = radiance + fold(
+            where(live & ~hitrec.hit, tp * miss, zeros_m))
 
-            # material fetch
-            if ss is not None:
-                mats = ss.materials.take(jnp.maximum(hitrec.mat_id, 0))
-                base = mats.color
-                metallic = mats.metallic
-                rough = mats.roughness
-                transmission = mats.transmission
-                ior = mats.index_of_refraction()
-            else:
-                base = Vec3.full((n,), 0.7)
-                metallic = zf
-                rough = zf + 0.5
-                transmission = zf
-                ior = zf + 1.5
-            if cs is not None:
-                tri_mat = cs.scene.materials.take(
-                    cs.scene.material_id[jnp.maximum(hitrec.tri, 0)]
-                )
-                is_tri = hitrec.mat_id < 0
-                base = where(is_tri, tri_mat.color, base)
-                metallic = jnp.where(is_tri, tri_mat.metallic, metallic)
-                rough = jnp.where(is_tri, tri_mat.roughness, rough)
-                transmission = jnp.where(is_tri, tri_mat.transmission, transmission)
-                ior = jnp.where(is_tri, tri_mat.index_of_refraction(), ior)
-            if curves is not None:
-                cv_mat = curves.materials.take(jnp.maximum(hitrec.cmat, 0))
-                is_cv = hitrec.cmat >= 0
-                base = where(is_cv, cv_mat.color, base)
-                metallic = jnp.where(is_cv, cv_mat.metallic, metallic)
-                rough = jnp.where(is_cv, cv_mat.roughness, rough)
-                transmission = jnp.where(is_cv, cv_mat.transmission, transmission)
-                ior = jnp.where(is_cv, cv_mat.index_of_refraction(), ior)
-
-            p = o + d * hitrec.t
-            nrm = faceforward(hitrec.n, -d, hitrec.n)
-            v = -d
-
-            # transmissive surfaces carry (almost) no diffuse term
-            direct = _shade_direct(
-                ss, cs, lights, kinds, cfg, p, nrm, v,
-                base * (1.0 - transmission), metallic, rough, hit, curves,
+        # material fetch
+        if ss is not None:
+            mats = ss.materials.take(jnp.maximum(hitrec.mat_id, 0))
+            base = mats.color
+            metallic = mats.metallic
+            rough = mats.roughness
+            transmission = mats.transmission
+            ior = mats.index_of_refraction()
+        else:
+            base = Vec3.full((m,), 0.7)
+            metallic = t_max * 0.0
+            rough = t_max * 0.0 + 0.5
+            transmission = t_max * 0.0
+            ior = t_max * 0.0 + 1.5
+        if cs is not None:
+            tri_mat = cs.scene.materials.take(
+                cs.scene.material_id[jnp.maximum(hitrec.tri, 0)]
             )
-            radiance = radiance + where(hit, tp * direct, Vec3.zeros((n,)))
+            is_tri = hitrec.mat_id < 0
+            base = where(is_tri, tri_mat.color, base)
+            metallic = jnp.where(is_tri, tri_mat.metallic, metallic)
+            rough = jnp.where(is_tri, tri_mat.roughness, rough)
+            transmission = jnp.where(is_tri, tri_mat.transmission, transmission)
+            ior = jnp.where(is_tri, tri_mat.index_of_refraction(), ior)
+        if curves is not None:
+            cv_mat = curves.materials.take(jnp.maximum(hitrec.cmat, 0))
+            is_cv = hitrec.cmat >= 0
+            base = where(is_cv, cv_mat.color, base)
+            metallic = jnp.where(is_cv, cv_mat.metallic, metallic)
+            rough = jnp.where(is_cv, cv_mat.roughness, rough)
+            transmission = jnp.where(is_cv, cv_mat.transmission, transmission)
+            ior = jnp.where(is_cv, cv_mat.index_of_refraction(), ior)
 
-            if level == cfg.max_depth:
-                continue
+        p = o + d * hitrec.t
+        nrm = faceforward(hitrec.n, -d, hitrec.n)
+        v = -d
 
-            # Fresnel split (entering vs exiting by the unflipped normal)
-            entering = dot(hitrec.n, v) > 0.0
-            eta_o = jnp.where(entering, ior, 1.0)
-            fr = fresnel_dielectric(jnp.abs(dot(nrm, v)), eta, eta_o)
+        # transmissive surfaces carry (almost) no diffuse term
+        direct = _shade_direct(
+            ss, cs, lights, kinds, cfg, p, nrm, v,
+            base * (1.0 - transmission), metallic, rough, hit, curves,
+        )
+        radiance = radiance + fold(where(hit, tp * direct, zeros_m))
 
-            # reflection branch: mirror weight = fresnel * (metallic or glass)
-            refl_w = jnp.where(transmission > 0.0, fr, metallic)
-            r_dir = normalize(reflect(d, nrm))
-            one = Vec3.ones((n,))
-            refl_tint = one + (base - one) * metallic  # metals tint mirrors
-            new_o.append(p)
-            new_d.append(r_dir)
-            new_tp.append(tp * refl_tint * refl_w)
-            new_eta.append(eta)
-            new_alive.append(hit & (refl_w > 1e-3))
-
-            # refraction branch
-            t_dir, ok = refract(v, nrm, eta / eta_o)
-            refr_w = jnp.where(ok, (1.0 - fr) * transmission, 0.0)
-            new_o.append(p)
-            new_d.append(normalize(t_dir))
-            new_tp.append(tp * refr_w)
-            new_eta.append(eta_o)
-            new_alive.append(hit & (refr_w > 1e-3))
-
-        os_, ds, tps, etas, alive = new_o, new_d, new_tp, new_eta, new_alive
-        if not os_:
+        if level == cfg.max_depth:
             break
+
+        # Fresnel split (entering vs exiting by the unflipped normal)
+        entering = dot(hitrec.n, v) > 0.0
+        eta_o = jnp.where(entering, ior, 1.0)
+        fr = fresnel_dielectric(jnp.abs(dot(nrm, v)), eta, eta_o)
+
+        # reflection branch: mirror weight = fresnel * (metallic or glass)
+        refl_w = jnp.where(transmission > 0.0, fr, metallic)
+        r_dir = normalize(reflect(d, nrm))
+        one = Vec3.ones((m,))
+        refl_tint = one + (base - one) * metallic  # metals tint mirrors
+
+        # refraction branch
+        t_dir, ok = refract(v, nrm, eta / eta_o)
+        refr_w = jnp.where(ok, (1.0 - fr) * transmission, 0.0)
+
+        o = cat3(p, p)
+        d = cat3(r_dir, normalize(t_dir))
+        tp = cat3(tp * refl_tint * refl_w, tp * refr_w)
+        eta = jnp.concatenate([eta, eta_o])
+        live = jnp.concatenate(
+            [hit & (refl_w > 1e-3), hit & (refr_w > 1e-3)])
 
     return radiance

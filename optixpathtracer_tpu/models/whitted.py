@@ -51,23 +51,36 @@ def default_scene():
 
 class WhittedRenderer:
     def __init__(self, ss, cs, lights, cfg: WhittedConfig, camera: Camera,
-                 curves=None):
+                 curves=None, dispatch_tiles: int | None = None):
         self.ss, self.cs, self.lights = ss, cs, lights
         self.curves = curves
         self.cfg = cfg
         self.camera = camera
         n = cfg.width * cfg.height
+        # the ray tree doubles per level (engine/whitted.py), so a full-
+        # resolution single launch peaks at n * 2^depth live rays and OOMs
+        # HBM (measured: 26 G needed for 768x576 depth 3 on a 16 G chip).
+        # Chunk the pixel launch so the deepest level stays ~1M rays; every
+        # chunk reuses ONE compiled step (identical shapes).
+        if dispatch_tiles is None:
+            dispatch_tiles = max(1, -(-n * (2 ** cfg.max_depth) // 1_000_000))
+        while n % dispatch_tiles:
+            dispatch_tiles += 1
+        self.dispatch_tiles = dispatch_tiles
+        chunk = n // dispatch_tiles
         ys, xs = np.divmod(np.arange(n, dtype=np.int32), cfg.width)
-        self._px = jnp.asarray(xs)
-        self._py = jnp.asarray(ys)
+        self._px = [jnp.asarray(xs[i * chunk:(i + 1) * chunk])
+                    for i in range(dispatch_tiles)]
+        self._py = [jnp.asarray(ys[i * chunk:(i + 1) * chunk])
+                    for i in range(dispatch_tiles)]
         self.accum = Vec3.zeros((n,))
         self.subframe_index = 0
         from ..engine.whitted import light_kinds
 
         kinds = light_kinds(lights)
         self._step = jax.jit(
-            lambda cam, sub: render_whitted(
-                self.ss, self.cs, self.lights, self.cfg, cam, self._px, self._py,
+            lambda cam, sub, px, py: render_whitted(
+                self.ss, self.cs, self.lights, self.cfg, cam, px, py,
                 sub, kinds=kinds, curves=self.curves,
             )
         )
@@ -75,7 +88,14 @@ class WhittedRenderer:
     def render(self) -> np.ndarray:
         """Progressive accumulation like whitted.cu raygen (:91-102)."""
         cam = CameraParams.from_camera(self.camera)
-        out = self._step(cam, jnp.uint32(self.subframe_index))
+        sub = jnp.uint32(self.subframe_index)
+        parts = [self._step(cam, sub, px, py)
+                 for px, py in zip(self._px, self._py)]
+        out = Vec3(
+            jnp.concatenate([p.x for p in parts]),
+            jnp.concatenate([p.y for p in parts]),
+            jnp.concatenate([p.z for p in parts]),
+        )
         a = 1.0 / (self.subframe_index + 1.0)
         self.accum = out if self.subframe_index == 0 else self.accum + (out - self.accum) * a
         self.subframe_index += 1

@@ -24,8 +24,14 @@ jax.config.update("jax_platforms", "cpu")
 from optixpathtracer_tpu.utils.cache import enable_compilation_cache  # noqa: E402
 
 # persistent XLA executable cache: repeat suite runs skip recompiles (the
-# golden renders are compile-dominated on CPU)
-enable_compilation_cache()
+# golden renders are compile-dominated on CPU). OPTIXPT_NO_CACHE=1 disables
+# it: jaxlib's executable serialization can abort/segfault sporadically
+# under heavy concurrent load (observed on slow-tier runs alongside TPU
+# jobs); correctness never depends on the cache.
+if os.environ.get("OPTIXPT_NO_CACHE"):
+    jax.config.update("jax_enable_compilation_cache", False)
+else:
+    enable_compilation_cache()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

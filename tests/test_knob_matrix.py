@@ -29,12 +29,18 @@ import jax
 def _no_persistent_cache():
     """jaxlib segfaults serializing one of this module's slow-tier
     cross-product executables into the persistent compilation cache
-    (put_executable_and_time, reproduced twice on isolated cache dirs);
-    the compile itself is fine. Skip cache writes for this module only."""
-    prev = jax.config.jax_compilation_cache_dir
-    jax.config.update("jax_compilation_cache_dir", None)
+    (put_executable_and_time -> executable.serialize(), reproduced three
+    times); the compile itself is fine. Disabling via config alone is NOT
+    enough: jax memoizes both is_cache_used and the cache object at first
+    compile, so the flag must be flipped AND the memoization reset."""
+    from jax._src import compilation_cache as _cc
+
+    prev = jax.config.jax_enable_compilation_cache
+    jax.config.update("jax_enable_compilation_cache", False)
+    _cc.reset_cache()
     yield
-    jax.config.update("jax_compilation_cache_dir", prev)
+    jax.config.update("jax_enable_compilation_cache", prev)
+    _cc.reset_cache()
 
 from optixpathtracer_tpu.builder import compile_scene
 from optixpathtracer_tpu.core.camera import Camera
