@@ -11,12 +11,33 @@ from __future__ import annotations
 import os
 
 
+def _host_cpu_tag() -> str:
+    """Hash of the host's CPU feature flags. XLA:CPU cache entries are AOT
+    results targeted at the COMPILING host's features; loading one compiled
+    on a different machine is undefined behavior (cpu_aot_loader warns
+    'could lead to execution errors such as SIGILL' — observed as random
+    segfaults and silently-wrong numerics when a cache directory moved
+    between driver machines). Keying the directory by the feature set makes
+    stale cross-machine entries unreachable."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    import hashlib
+
+                    return hashlib.sha1(line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    return "nohost"
+
+
 def enable_compilation_cache(path: str | None = None, min_compile_secs: float = 0.5) -> str:
     import jax
 
     path = path or os.environ.get(
         "OPTIXPT_CACHE_DIR", os.path.expanduser("~/.cache/optixpathtracer_tpu/jax")
     )
+    path = os.path.join(path, _host_cpu_tag())
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", min_compile_secs)

@@ -22,25 +22,10 @@ import itertools
 import numpy as np
 import pytest
 
-import jax
-
-
-@pytest.fixture(scope="module", autouse=True)
-def _no_persistent_cache():
-    """jaxlib segfaults serializing one of this module's slow-tier
-    cross-product executables into the persistent compilation cache
-    (put_executable_and_time -> executable.serialize(), reproduced three
-    times); the compile itself is fine. Disabling via config alone is NOT
-    enough: jax memoizes both is_cache_used and the cache object at first
-    compile, so the flag must be flipped AND the memoization reset."""
-    from jax._src import compilation_cache as _cc
-
-    prev = jax.config.jax_enable_compilation_cache
-    jax.config.update("jax_enable_compilation_cache", False)
-    _cc.reset_cache()
-    yield
-    jax.config.update("jax_enable_compilation_cache", prev)
-    _cc.reset_cache()
+# NOTE: this module's slow-tier cross product used to segfault mid-suite;
+# root cause was NOT this module but stale cross-machine XLA:CPU AOT cache
+# entries (see utils/cache._host_cpu_tag) — loading an executable compiled
+# for another host's CPU features is undefined behavior.
 
 from optixpathtracer_tpu.builder import compile_scene
 from optixpathtracer_tpu.core.camera import Camera
