@@ -22,10 +22,27 @@ import itertools
 import numpy as np
 import pytest
 
-# NOTE: this module's slow-tier cross product used to segfault mid-suite;
-# root cause was NOT this module but stale cross-machine XLA:CPU AOT cache
-# entries (see utils/cache._host_cpu_tag) — loading an executable compiled
-# for another host's CPU features is undefined behavior.
+import jax
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _no_persistent_cache():
+    """XLA:CPU's executable.serialize() aborts on some of this module's
+    slow-tier cross-product executables when writing the persistent cache
+    (reproduced on a freshly-initialized, host-keyed cache — distinct from
+    the cross-machine stale-cache UB handled by utils/cache._host_cpu_tag;
+    the compile itself is fine, and warm-cache runs skip the write, which
+    is why standalone reruns pass). Disable cache use for this module:
+    jax memoizes is_cache_used and the cache object at first compile, so
+    the flag flip must be paired with reset_cache()."""
+    from jax._src import compilation_cache as _cc
+
+    prev = jax.config.jax_enable_compilation_cache
+    jax.config.update("jax_enable_compilation_cache", False)
+    _cc.reset_cache()
+    yield
+    jax.config.update("jax_enable_compilation_cache", prev)
+    _cc.reset_cache()
 
 from optixpathtracer_tpu.builder import compile_scene
 from optixpathtracer_tpu.core.camera import Camera
