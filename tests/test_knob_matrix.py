@@ -40,6 +40,12 @@ def _no_persistent_cache():
     prev = jax.config.jax_enable_compilation_cache
     jax.config.update("jax_enable_compilation_cache", False)
     _cc.reset_cache()
+    # the cross product compiles dozens of distinct programs on top of the
+    # ~200 executables the preceding suite already loaded; XLA:CPU segfaults
+    # under that cumulative load (reproduced cache-on AND cache-off at the
+    # same suite position across different modules). Dropping the earlier
+    # executables keeps the process under the wall.
+    jax.clear_caches()
     yield
     jax.config.update("jax_enable_compilation_cache", prev)
     _cc.reset_cache()
