@@ -14,11 +14,13 @@ import os
 def _host_cpu_tag() -> str:
     """Hash of the host's CPU feature flags. XLA:CPU cache entries are AOT
     results targeted at the COMPILING host's features; loading one compiled
-    on a different machine is undefined behavior (cpu_aot_loader warns
-    'could lead to execution errors such as SIGILL' — observed as random
-    segfaults and silently-wrong numerics when a cache directory moved
-    between driver machines). Keying the directory by the feature set makes
-    stale cross-machine entries unreachable."""
+    on a different machine is undefined behavior (cpu_aot_loader:
+    'could lead to execution errors such as SIGILL'). Keying the directory
+    by the feature set makes cross-machine entries unreachable — defense in
+    depth for cache dirs that survive across driver machines. (Note:
+    cpu_aot_loader also warns about '+prefer-no-scatter/+prefer-no-gather'
+    on every SAME-host load — those are XLA pseudo-features absent from
+    /proc/cpuinfo; that warning alone is benign.)"""
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:

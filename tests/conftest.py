@@ -67,3 +67,16 @@ def pytest_collection_modifyitems(config, items):
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_live_executables():
+    """XLA:CPU segfaults once a process accumulates a few hundred loaded
+    executables (reproduced at the same suite ordinal across different
+    modules, cache-on and cache-off). Dropping compiled programs at module
+    boundaries keeps the live count bounded; the persistent disk cache
+    makes any cross-module recompiles cheap."""
+    yield
+    import jax
+
+    jax.clear_caches()
